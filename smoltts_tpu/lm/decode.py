@@ -1,0 +1,455 @@
+"""KV-cached DualAR decoding: prefill + per-frame step, TPU-first.
+
+Behavioral spec is the reference's single-stream iterator
+(mlx .../lm/generate.py:59-171 and lm/rq_transformer.py:173-220), re-designed
+for XLA:
+
+- Preallocated KV caches written in place via dynamic_update_slice (the
+  reference concat-grows its cache per token, cache.py:6-33).
+- The fast 8-step micro-loop is a single `lax.scan` inside the jitted frame
+  step — one dispatch per frame instead of the reference's 9 host syncs
+  (SURVEY.md §3.3).
+- Everything is batched over B decode slots with per-slot positions and
+  finished flags, so continuous batching is a host-side slot manager, not a
+  model change.
+
+State is an explicit pytree (donated between steps); there is no host state
+inside jitted functions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smoltts_tpu.config import DualARConfig
+from smoltts_tpu.lm.samplers import (
+    GenerationSettings,
+    constrain_logits_to_audio,
+    sample_token,
+)
+from smoltts_tpu.models.dual_ar import (
+    embed_merge,
+    fast_dims,
+    project_fast_in,
+    slow_dims,
+    token_head,
+)
+from smoltts_tpu.models.layers import (
+    AttnDims,
+    apply_rope,
+    rms_norm,
+    rope_cos_sin,
+    split_qkv,
+    swiglu,
+)
+from smoltts_tpu.tokenizer import TokenConfig
+
+
+class DecodeState(NamedTuple):
+    """Per-slot decoding state for B concurrent streams."""
+
+    k: jnp.ndarray  # [n_layer, B, S, n_kv_head, head_dim]
+    v: jnp.ndarray  # [n_layer, B, S, n_kv_head, head_dim]
+    pos: jnp.ndarray  # [B] int32 — number of cached tokens == next write slot
+    prev_tokens: jnp.ndarray  # [B, num_rows] int32 — frame fed to next step
+    finished: jnp.ndarray  # [B] bool
+
+
+class FrameOutput(NamedTuple):
+    tokens: jnp.ndarray  # [B, num_rows] int32 — next slow-model input frame
+    audio_codes: jnp.ndarray  # [B, num_codebooks] int32 — Mimi codes
+    slow_token: jnp.ndarray  # [B] int32
+    is_audio: jnp.ndarray  # [B] bool — frame carries valid audio
+    finished: jnp.ndarray  # [B] bool — stream has emitted <|im_end|>
+
+
+def init_decode_state(
+    cfg: DualARConfig, batch_size: int, max_seq_len: Optional[int] = None, dtype=jnp.bfloat16
+) -> DecodeState:
+    S = max_seq_len or cfg.max_seq_len
+    kv_shape = (cfg.n_layer, batch_size, S, cfg.n_local_heads, cfg.head_dim)
+    return DecodeState(
+        k=jnp.zeros(kv_shape, dtype),
+        v=jnp.zeros(kv_shape, dtype),
+        pos=jnp.zeros((batch_size,), jnp.int32),
+        prev_tokens=jnp.zeros((batch_size, cfg.num_rows), jnp.int32),
+        finished=jnp.zeros((batch_size,), bool),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cached attention primitives
+# --------------------------------------------------------------------------
+
+
+def _write_kv(cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Write new [B, T, H, hd] into cache [B, S, H, hd] at per-slot positions."""
+
+    def write_one(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (p, 0, 0))
+
+    return jax.vmap(write_one)(cache, new, pos)
+
+
+def _cached_sdpa(
+    q: jnp.ndarray,  # [B, Tq, n_head, hd]
+    k: jnp.ndarray,  # [B, S, n_kv, hd]
+    v: jnp.ndarray,
+    valid_bk: jnp.ndarray,  # [B, S] bool
+) -> jnp.ndarray:
+    B, Tq, n_head, hd = q.shape
+    n_kv = k.shape[2]
+    group = n_head // n_kv
+    qg = q.reshape(B, Tq, n_kv, group, hd)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    logits = jnp.where(valid_bk[:, None, None, None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, Tq, n_head * hd)
+
+
+def _decode_trunk(
+    layer_params: dict,
+    x: jnp.ndarray,  # [B, T, dim]
+    k_cache: jnp.ndarray,  # [L, B, S, n_kv, hd]
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,  # [B] write position of x[:, 0]
+    dims: AttnDims,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    causal_within: bool,
+    norm_eps: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the cached trunk over T new tokens (T=1 decode, T=prompt prefill).
+
+    Writes k/v at positions pos..pos+T-1 and attends over the whole cache with
+    a per-slot validity mask (k index <= pos + query offset).
+    """
+    B, T, _ = x.shape
+    S = k_cache.shape[2]
+    k_idx = jnp.arange(S)
+
+    def block(carry, lp_kv):
+        h = carry
+        lp, kc, vc = lp_kv
+        hn = rms_norm(h, lp["attention_norm"], norm_eps)
+        qkv = hn @ lp["wqkv"]
+        if "wqkv_bias" in lp:
+            qkv = qkv + lp["wqkv_bias"]
+        q, k, v = split_qkv(qkv, dims)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc = _write_kv(kc, k, pos)
+        vc = _write_kv(vc, v, pos)
+        if causal_within and T > 1:
+            # [B, Tq, S]: query t attends cache indices <= pos + t
+            valid = k_idx[None, None, :] <= (pos[:, None] + jnp.arange(T)[None, :])[..., None]
+            att = _cached_sdpa_multi(q, kc, vc, valid)
+        else:
+            valid = k_idx[None, :] <= pos[:, None]
+            att = _cached_sdpa(q, kc, vc, valid)
+        h = h + att @ lp["wo"]
+        hn = rms_norm(h, lp["ffn_norm"], norm_eps)
+        h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+        return h, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(block, x, (layer_params, k_cache, v_cache))
+    return x, k_cache, v_cache
+
+
+def _cached_sdpa_multi(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, valid_bqk: jnp.ndarray
+) -> jnp.ndarray:
+    """Like _cached_sdpa but with a per-query mask [B, Tq, S] (prefill)."""
+    B, Tq, n_head, hd = q.shape
+    n_kv = k.shape[2]
+    group = n_head // n_kv
+    qg = q.reshape(B, Tq, n_kv, group, hd)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    logits = jnp.where(valid_bqk[:, None, None, :, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, Tq, n_head * hd)
+
+
+# --------------------------------------------------------------------------
+# Fast (depth) transformer micro-loop
+# --------------------------------------------------------------------------
+
+
+def _fast_micro_loop(
+    params: dict,
+    cfg: DualARConfig,
+    hidden: jnp.ndarray,  # [B, dim] pre-norm slow output at the frame position
+    rng: jax.Array,
+    settings: GenerationSettings,
+) -> jnp.ndarray:
+    """Autoregressively sample the codebook levels for one frame.
+
+    Equivalent to the reference's 8 × forward_generate_fast host loop
+    (lm/generate.py:113-141) fused into one lax.scan. Returns [B, n] codes.
+    """
+    B = hidden.shape[0]
+    n = cfg.max_fast_seqlen
+    fdims = fast_dims(cfg)
+    fcos, fsin = rope_cos_sin(jnp.arange(n), cfg.fast_head_dim, cfg.rope_base)
+    x0 = project_fast_in(params, cfg, hidden)[:, None, :]  # [B, 1, fast_dim]
+
+    kv_shape = (cfg.n_fast_layer, B, n, cfg.fast_n_local_heads, cfg.fast_head_dim)
+    k0 = jnp.zeros(kv_shape, x0.dtype)
+    v0 = jnp.zeros(kv_shape, x0.dtype)
+    pos0 = jnp.zeros((B,), jnp.int32)
+    w_out = params["fast_output"]
+
+    fast_temp = settings.default_fast_temp
+
+    def step(carry, i):
+        x, kc, vc, rng = carry
+        pos = pos0 + i
+        cos_i, sin_i = fcos[i][None, None], fsin[i][None, None]  # [1,1,half]
+        h, kc, vc = _decode_trunk(
+            params["fast_layers"],
+            x,
+            kc,
+            vc,
+            pos,
+            fdims,
+            cos_i,
+            sin_i,
+            causal_within=False,
+            norm_eps=cfg.norm_eps,
+        )
+        fast_out = rms_norm(h[:, 0], params["fast_norm"], cfg.norm_eps)
+        if cfg.depthwise_output:
+            w_i = jax.lax.dynamic_index_in_dim(w_out, i, axis=0, keepdims=False)
+        else:
+            w_i = w_out
+        logits = (fast_out @ w_i).astype(jnp.float32)  # [B, cb]
+
+        rng, sub = jax.random.split(rng)
+        if fast_temp is not None and fast_temp > 0:
+            code = sample_token(
+                logits, sub, temperature=fast_temp, min_p=settings.min_p
+            )
+        else:
+            code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        # Re-embed for the next micro-step. Depthwise tables are offset per
+        # position (lm/generate.py:136-140); the final step's embedding is
+        # unused (and its offset would run off the table — JAX clips the
+        # gather, matching the reference's silent OOB lookup).
+        if cfg.depthwise_wte:
+            offset = (i if cfg.duplicate_code_0 else i + 1) * cfg.codebook_size
+        else:
+            offset = jnp.zeros((), jnp.int32)
+        x_next = params["fast_embeddings"][code + offset][:, None, :]
+        return (x_next, kc, vc, rng), code
+
+    (_, _, _, _), codes = jax.lax.scan(
+        step, (x0, k0, v0, rng), jnp.arange(n)
+    )
+    return codes.T  # [B, n]
+
+
+# --------------------------------------------------------------------------
+# Frame assembly
+# --------------------------------------------------------------------------
+
+
+def _frame_from_hidden(
+    params: dict,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    hidden: jnp.ndarray,  # [B, dim]
+    token_logits: jnp.ndarray,  # [B, vocab]
+    finished: jnp.ndarray,  # [B]
+    rng: jax.Array,
+    settings: GenerationSettings,
+) -> FrameOutput:
+    """Sample the semantic token + codebook levels; assemble the next frame
+    (lm/generate.py:88-166)."""
+    rng_slow, rng_fast = jax.random.split(rng)
+    logits = token_logits.astype(jnp.float32)
+    if settings.audio_only_constraint:
+        logits = constrain_logits_to_audio(
+            logits,
+            token_cfg.im_end_id,
+            token_cfg.semantic_start_id,
+            token_cfg.semantic_end_id,
+        )
+    slow_token = sample_token(
+        logits,
+        rng_slow,
+        temperature=settings.default_temp,
+        min_p=settings.min_p,
+    )
+    # Finished streams keep emitting <|im_end|> deterministically.
+    slow_token = jnp.where(finished, token_cfg.im_end_id, slow_token)
+
+    codes = _fast_micro_loop(params, cfg, hidden, rng_fast, settings)  # [B, n]
+
+    frame = jnp.concatenate([slow_token[:, None], codes], axis=1)  # [B, num_rows]
+
+    is_semantic = (slow_token >= token_cfg.semantic_start_id) & (
+        slow_token <= (token_cfg.semantic_end_id or token_cfg.semantic_start_id)
+    )
+    if cfg.duplicate_code_0:
+        audio_codes = codes
+    else:
+        sem_code = slow_token - token_cfg.semantic_start_id
+        audio_codes = jnp.concatenate([sem_code[:, None], codes], axis=1)
+
+    new_finished = finished | (slow_token == token_cfg.im_end_id)
+    return FrameOutput(
+        tokens=frame,
+        audio_codes=audio_codes,
+        slow_token=slow_token,
+        is_audio=is_semantic & ~finished,
+        finished=new_finished,
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefill and frame step
+# --------------------------------------------------------------------------
+
+
+def prefill(
+    params: dict,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    settings: GenerationSettings,
+    state: DecodeState,
+    prompt: jnp.ndarray,  # [B, num_rows, T] (right-padded)
+    prompt_len: jnp.ndarray,  # [B] true lengths
+    rng: jax.Array,
+) -> Tuple[DecodeState, FrameOutput]:
+    """Process the prompt, fill the KV cache, and emit the FIRST frame
+    (the reference folds prefill into the first iterator step,
+    lm/generate.py:59-74)."""
+    B, R, T = prompt.shape
+    x = embed_merge(
+        params,
+        cfg,
+        prompt,
+        embed_mask_mode="semantic_range",
+        semantic_start_id=token_cfg.semantic_start_id,
+        semantic_end_id=token_cfg.semantic_end_id or token_cfg.semantic_start_id,
+    )
+    # Each slot's prompt occupies cache positions pos..pos+T-1 (pos is 0 for a
+    # fresh slot); RoPE positions run pos+t.
+    positions = state.pos[:, None] + jnp.arange(T)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
+    h, k_cache, v_cache = _decode_trunk(
+        params["layers"],
+        x,
+        state.k,
+        state.v,
+        state.pos,
+        slow_dims(cfg),
+        cos,
+        sin,
+        causal_within=True,
+        norm_eps=cfg.norm_eps,
+    )
+    # Gather the last REAL position per slot.
+    last_idx = state.pos + prompt_len - 1
+    batch_idx = jnp.arange(B)
+    rel_idx = prompt_len - 1
+    h_last = h[batch_idx, rel_idx]  # [B, dim]
+    token_logits = token_head(params, cfg, h_last[:, None, :])[:, 0]
+
+    out = _frame_from_hidden(
+        params, cfg, token_cfg, h_last, token_logits, state.finished, rng, settings
+    )
+    new_state = DecodeState(
+        k=k_cache,
+        v=v_cache,
+        pos=state.pos + prompt_len,
+        prev_tokens=out.tokens,
+        finished=out.finished,
+    )
+    del last_idx
+    return new_state, out
+
+
+def decode_frame(
+    params: dict,
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    settings: GenerationSettings,
+    state: DecodeState,
+    rng: jax.Array,
+) -> Tuple[DecodeState, FrameOutput]:
+    """One 80 ms frame for every live slot: slow step + fast micro-loop
+    (the reference's SingleBatchGenerator.__next__, lm/generate.py:59-171)."""
+    B = state.prev_tokens.shape[0]
+    x = embed_merge(
+        params,
+        cfg,
+        state.prev_tokens[:, :, None],
+        embed_mask_mode="semantic_range",
+        semantic_start_id=token_cfg.semantic_start_id,
+        semantic_end_id=token_cfg.semantic_end_id or token_cfg.semantic_start_id,
+    )  # [B, 1, dim]
+    cos, sin = rope_cos_sin(state.pos[:, None], cfg.head_dim, cfg.rope_base)
+    h, k_cache, v_cache = _decode_trunk(
+        params["layers"],
+        x,
+        state.k,
+        state.v,
+        state.pos,
+        slow_dims(cfg),
+        cos,
+        sin,
+        causal_within=False,
+        norm_eps=cfg.norm_eps,
+    )
+    h_last = h[:, 0]
+    token_logits = token_head(params, cfg, h_last[:, None, :])[:, 0]
+    out = _frame_from_hidden(
+        params, cfg, token_cfg, h_last, token_logits, state.finished, rng, settings
+    )
+    new_state = DecodeState(
+        k=k_cache,
+        v=v_cache,
+        pos=state.pos + 1,
+        prev_tokens=out.tokens,
+        finished=out.finished,
+    )
+    return new_state, out
+
+
+# --------------------------------------------------------------------------
+# Jitted entry points
+# --------------------------------------------------------------------------
+
+
+def make_decode_fns(cfg: DualARConfig, token_cfg: TokenConfig, settings: GenerationSettings):
+    """Build jitted (prefill, decode_frame) closures with donated state."""
+    pf = jax.jit(
+        partial(prefill, cfg=cfg, token_cfg=token_cfg, settings=settings),
+        static_argnames=(),
+        donate_argnames=("state",),
+    )
+    df = jax.jit(
+        partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
+        donate_argnames=("state",),
+    )
+
+    def prefill_fn(params, state, prompt, prompt_len, rng):
+        return pf(params, state=state, prompt=prompt, prompt_len=prompt_len, rng=rng)
+
+    def decode_fn(params, state, rng):
+        return df(params, state=state, rng=rng)
+
+    return prefill_fn, decode_fn

@@ -1,0 +1,228 @@
+"""Transformer building blocks, written functionally for JAX/XLA on TPU.
+
+Semantics match the reference Llama-style blocks (modeling/model/
+rq_transformer.py:482-641 and mlx .../lm/rq_transformer.py:223-307):
+fused wqkv, GQA, traditional (interleaved-pair) RoPE with bf16-cached
+cos/sin, RMSNorm in fp32, SwiGLU MLP, causal SDPA with 1/sqrt(head_dim)
+scale. Everything here is a pure function over parameter pytrees so it
+jits, shards (pjit/GSPMD), and scans cleanly.
+
+Weight layout convention: linear kernels are [in, out] (x @ W); embedding
+tables are [rows, dim]. The torch/safetensors importer transposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnDims:
+    """Static attention dimensions for one trunk."""
+
+    n_head: int
+    n_kv_head: int
+    head_dim: int
+    dim: int
+
+    @property
+    def q_size(self) -> int:
+        return self.n_head * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.n_kv_head * self.head_dim
+
+
+# --------------------------------------------------------------------------
+# Norm / MLP
+# --------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm computed in fp32, cast back (rq_transformer.py:601-613)."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return normed.astype(x.dtype) * weight
+
+
+def swiglu(x: jnp.ndarray, w1: jnp.ndarray, w3: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU FFN: w2(silu(x w1) * (x w3)) (rq_transformer.py:573-582)."""
+    return (jax.nn.silu(x @ w1) * (x @ w3)) @ w2
+
+
+# --------------------------------------------------------------------------
+# RoPE (traditional / interleaved-pair form)
+# --------------------------------------------------------------------------
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, base: float, dtype=jnp.bfloat16
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the given positions, shape [*pos, head_dim//2].
+
+    Computed in fp32 then cast to bf16, matching the reference's bf16
+    freqs_cis cache (rq_transformer.py:616-624) bit-for-bit at load.
+    """
+    inv_freq = 1.0 / (
+        base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Traditional RoPE on interleaved pairs (x0,x1),(x2,x3),...
+
+    x: [..., T, H, head_dim]; cos/sin: [T, head_dim//2] (or broadcastable
+    [..., T, head_dim//2]). Math in fp32, output cast back to x.dtype
+    (rq_transformer.py:627-640).
+    """
+    xf = x.astype(jnp.float32)
+    x_pairs = xf.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+    x0, x1 = x_pairs[..., 0], x_pairs[..., 1]
+    # cos/sin enter at fp32; broadcast over the head axis.
+    c = cos.astype(jnp.float32)[..., :, None, :]
+    s = sin.astype(jnp.float32)[..., :, None, :]
+    out = jnp.stack([x0 * c - x1 * s, x1 * c + x0 * s], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Attention
+# --------------------------------------------------------------------------
+
+
+def split_qkv(
+    qkv: jnp.ndarray, dims: AttnDims
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Split fused wqkv output into per-head q/k/v.
+
+    qkv: [..., T, q_size + 2*kv_size] -> q [..., T, n_head, hd],
+    k/v [..., T, n_kv_head, hd].
+    """
+    q, k, v = jnp.split(qkv, [dims.q_size, dims.q_size + dims.kv_size], axis=-1)
+    q = q.reshape(*q.shape[:-1], dims.n_head, dims.head_dim)
+    k = k.reshape(*k.shape[:-1], dims.n_kv_head, dims.head_dim)
+    v = v.reshape(*v.shape[:-1], dims.n_kv_head, dims.head_dim)
+    return q, k, v
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    is_causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with GQA.
+
+    q: [B, Tq, n_head, hd]; k/v: [B, Tk, n_kv_head, hd].
+    mask: bool [*, Tq, Tk] broadcastable, True = attend. Softmax in fp32.
+    Matches torch SDPA semantics used at rq_transformer.py:559-566
+    (is_causal, dropout on attention probabilities at train time).
+    """
+    B, Tq, n_head, hd = q.shape
+    n_kv = k.shape[2]
+    group = n_head // n_kv
+    scale = hd**-0.5
+
+    qg = q.reshape(B, Tq, n_kv, group, hd)
+    # [B, n_kv, group, Tq, Tk]
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+
+    Tk = k.shape[1]
+    if is_causal:
+        causal = jnp.tril(jnp.ones((Tq, Tk), dtype=bool), k=Tk - Tq)
+        mask = causal if mask is None else (mask & causal)
+    if mask is not None:
+        mask_b = jnp.broadcast_to(mask, (B, 1, 1, Tq, Tk)) if mask.ndim <= 2 else mask
+        while mask_b.ndim < 5:
+            mask_b = mask_b[:, None]
+        logits = jnp.where(mask_b, logits, -jnp.inf)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out.reshape(B, Tq, n_head * hd)
+
+
+def attention_block(
+    x: jnp.ndarray,
+    lp: dict,
+    dims: AttnDims,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    is_causal: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    norm_eps: float = 1e-5,
+) -> jnp.ndarray:
+    """One pre-norm attention sublayer: x + wo(attn(norm(x)))."""
+    h = rms_norm(x, lp["attention_norm"], norm_eps)
+    qkv = h @ lp["wqkv"]
+    if "wqkv_bias" in lp:
+        qkv = qkv + lp["wqkv_bias"]
+    q, k, v = split_qkv(qkv, dims)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    att = sdpa(
+        q,
+        k,
+        v,
+        mask,
+        is_causal=is_causal,
+        dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+    )
+    return x + att @ lp["wo"]
+
+
+def ffn_block(x: jnp.ndarray, lp: dict, norm_eps: float) -> jnp.ndarray:
+    """One pre-norm FFN sublayer: x + swiglu(norm(x))."""
+    h = rms_norm(x, lp["ffn_norm"], norm_eps)
+    return x + swiglu(h, lp["w1"], lp["w3"], lp["w2"])
+
+
+def transformer_block(
+    x: jnp.ndarray,
+    lp: dict,
+    dims: AttnDims,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    is_causal: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    norm_eps: float = 1e-5,
+) -> jnp.ndarray:
+    x = attention_block(
+        x,
+        lp,
+        dims,
+        cos,
+        sin,
+        mask=mask,
+        is_causal=is_causal,
+        dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng,
+        norm_eps=norm_eps,
+    )
+    return ffn_block(x, lp, norm_eps)
