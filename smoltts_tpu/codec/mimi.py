@@ -1,0 +1,294 @@
+"""Mimi neural codec — top-level model, HF weight import, streaming decode.
+
+Structure per the reference port (mlx .../codec/mimi.py:30-104) and kyutai/HF:
+
+  encode:  audio [B, L, 1] → SEANet encoder → encoder transformer →
+           stride-2 downsample (25 → 12.5 Hz) → split-RVQ encode → codes
+  decode:  codes [B, K, T] → RVQ decode → grouped transpose-conv upsample →
+           decoder transformer → SEANet decoder → PCM [B, T*1920, 1]
+
+`decode_step` consumes ONE 12.5 Hz frame at a time against an explicit
+streaming-state pytree (transpose-conv tails, conv buffers, ring KV cache) —
+the whole step jits to a single XLA program emitting 1920 PCM samples
+(80 ms @ 24 kHz).
+
+Weights load from the `kyutai/mimi` safetensors release or any HF
+`transformers.MimiModel` state dict (both use the same key schema); layouts
+are transposed to this module's channels-last/[K, I, O] convention, with
+transpose-conv kernels pre-flipped (see conv.py) and RVQ codebooks
+materialized as `embed_sum / max(cluster_usage, ε)`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoltts_tpu.codec.config import MimiConfig
+from smoltts_tpu.codec.conv import (
+    causal_conv1d,
+    causal_conv_transpose1d,
+    convtr_stream_init,
+    convtr_stream_step,
+)
+from smoltts_tpu.codec.rvq import split_rvq_decode, split_rvq_encode
+from smoltts_tpu.codec.seanet import (
+    ConvSpec,
+    build_decoder_plan,
+    build_encoder_plan,
+    seanet_apply,
+    seanet_stream_init,
+    seanet_stream_step,
+)
+from smoltts_tpu.codec.transformer import (
+    TransformerRingState,
+    ring_state_init,
+    transformer_forward,
+    transformer_stream_step,
+)
+
+MimiParams = Dict[str, object]
+
+
+# --------------------------------------------------------------------------
+# Weight import
+# --------------------------------------------------------------------------
+
+
+def _conv_w(state, key, bias_key=None) -> dict:
+    w = state[key]  # torch [O, I/groups, K]
+    p = {"w": np.transpose(w, (2, 1, 0))}  # -> [K, I/groups, O]
+    if bias_key and bias_key in state:
+        p["b"] = state[bias_key]
+    return p
+
+
+def _convtr_w(state, key, bias_key, groups: int) -> dict:
+    """torch ConvTranspose1d weight [I, O/groups, K] -> flipped [K, I/groups, O].
+
+    groups == 1: [I, O, K] -> flip K -> [K, I, O].
+    groups == I (Mimi upsample): [I, 1, K] -> flip K -> [K, 1, I].
+    """
+    w = state[key]
+    wf = w[..., ::-1]
+    if groups == 1:
+        p = {"w": np.ascontiguousarray(np.transpose(wf, (2, 0, 1)))}
+    elif groups == w.shape[0] and w.shape[1] == 1:
+        p = {"w": np.ascontiguousarray(np.transpose(wf, (2, 1, 0)))}
+    else:
+        raise NotImplementedError(f"grouped convtr groups={groups} shape={w.shape}")
+    if bias_key and bias_key in state:
+        p["b"] = state[bias_key]
+    return p
+
+
+def _seanet_params(state, plan: List[ConvSpec], prefix: str) -> List:
+    params: List = []
+    for i, spec in enumerate(plan):
+        base = f"{prefix}.layers.{i}"
+        if spec.kind == "elu":
+            params.append(None)
+        elif spec.kind == "conv":
+            params.append(_conv_w(state, f"{base}.conv.weight", f"{base}.conv.bias"))
+        elif spec.kind == "convtr":
+            params.append(
+                _convtr_w(state, f"{base}.conv.weight", f"{base}.conv.bias", groups=1)
+            )
+        elif spec.kind == "resnet":
+            params.append(
+                {
+                    "conv1": _conv_w(
+                        state, f"{base}.block.1.conv.weight", f"{base}.block.1.conv.bias"
+                    ),
+                    "conv2": _conv_w(
+                        state, f"{base}.block.3.conv.weight", f"{base}.block.3.conv.bias"
+                    ),
+                }
+            )
+    return params
+
+
+def _transformer_params(state, prefix: str, n_layers: int) -> dict:
+    def stack(fmt, transpose=False):
+        arrs = [state[fmt.format(i)] for i in range(n_layers)]
+        a = np.stack(arrs, axis=0)
+        return np.ascontiguousarray(np.transpose(a, (0, 2, 1))) if transpose else a
+
+    return {
+        "layers": {
+            "ln1_w": stack(prefix + ".layers.{}.input_layernorm.weight"),
+            "ln1_b": stack(prefix + ".layers.{}.input_layernorm.bias"),
+            "ln2_w": stack(prefix + ".layers.{}.post_attention_layernorm.weight"),
+            "ln2_b": stack(prefix + ".layers.{}.post_attention_layernorm.bias"),
+            "wq": stack(prefix + ".layers.{}.self_attn.q_proj.weight", transpose=True),
+            "wk": stack(prefix + ".layers.{}.self_attn.k_proj.weight", transpose=True),
+            "wv": stack(prefix + ".layers.{}.self_attn.v_proj.weight", transpose=True),
+            "wo": stack(prefix + ".layers.{}.self_attn.o_proj.weight", transpose=True),
+            "fc1": stack(prefix + ".layers.{}.mlp.fc1.weight", transpose=True),
+            "fc2": stack(prefix + ".layers.{}.mlp.fc2.weight", transpose=True),
+            "scale_attn": stack(prefix + ".layers.{}.self_attn_layer_scale.scale"),
+            "scale_mlp": stack(prefix + ".layers.{}.mlp_layer_scale.scale"),
+        }
+    }
+
+
+def _rvq_side(state, prefix: str, n_layers: int, eps: float = 1e-5) -> dict:
+    embeds = []
+    for i in range(n_layers):
+        es = state[f"{prefix}.layers.{i}.codebook.embed_sum"]
+        cu = state[f"{prefix}.layers.{i}.codebook.cluster_usage"]
+        embeds.append(es / np.maximum(cu, eps)[:, None])
+    return {
+        "in_proj": np.transpose(state[f"{prefix}.input_proj.weight"][:, :, 0], (1, 0)),
+        "out_proj": np.transpose(state[f"{prefix}.output_proj.weight"][:, :, 0], (1, 0)),
+        "embed": np.stack(embeds, axis=0),  # [K, codebook_size, dim]
+    }
+
+
+def params_from_hf_state_dict(
+    state: Dict[str, np.ndarray], cfg: MimiConfig
+) -> MimiParams:
+    """Build the JAX param pytree from a kyutai/HF Mimi state dict (numpy)."""
+    enc_plan = build_encoder_plan(cfg)
+    dec_plan = build_decoder_plan(cfg)
+    q = "quantizer"
+    return {
+        "encoder": _seanet_params(state, enc_plan, "encoder"),
+        "encoder_transformer": _transformer_params(
+            state, "encoder_transformer", cfg.num_hidden_layers
+        ),
+        "downsample": _conv_w(state, "downsample.conv.weight", "downsample.conv.bias"),
+        "upsample": _convtr_w(
+            state, "upsample.conv.weight", "upsample.conv.bias", groups=cfg.upsample_groups
+        ),
+        "decoder_transformer": _transformer_params(
+            state, "decoder_transformer", cfg.num_hidden_layers
+        ),
+        "decoder": _seanet_params(state, dec_plan, "decoder"),
+        "quantizer": {
+            "semantic": _rvq_side(
+                state, f"{q}.semantic_residual_vector_quantizer", cfg.num_semantic_quantizers
+            ),
+            "acoustic": _rvq_side(
+                state,
+                f"{q}.acoustic_residual_vector_quantizer",
+                cfg.num_quantizers - cfg.num_semantic_quantizers,
+            ),
+        },
+    }
+
+
+def load_mimi(
+    path: Union[str, Path], cfg: Optional[MimiConfig] = None, dtype=None
+) -> Tuple[MimiParams, MimiConfig]:
+    """Load Mimi weights from a safetensors file (kyutai/mimi `model.safetensors`
+    schema, same keys as HF transformers MimiModel)."""
+    from safetensors.numpy import load_file
+
+    cfg = cfg or MimiConfig()
+    state = load_file(str(path))
+    params = params_from_hf_state_dict(state, cfg)
+    if dtype is not None:
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
+# Batch encode / decode
+# --------------------------------------------------------------------------
+
+
+def mimi_encode(
+    params: MimiParams,
+    cfg: MimiConfig,
+    audio: jnp.ndarray,  # [B, L] or [B, L, 1]
+    num_quantizers: Optional[int] = None,
+) -> jnp.ndarray:
+    """Audio -> codes [B, nq, T] (mlx .../codec/mimi.py:64-71)."""
+    if audio.ndim == 2:
+        audio = audio[..., None]
+    enc_plan = build_encoder_plan(cfg)
+    x = seanet_apply(enc_plan, params["encoder"], audio, cfg)
+    x = transformer_forward(params["encoder_transformer"], cfg, x)
+    x = causal_conv1d(
+        x,
+        params["downsample"]["w"],
+        params["downsample"].get("b"),
+        stride=cfg.downsample_stride,
+        pad_mode="replicate",
+    )
+    return split_rvq_encode(x, params["quantizer"], cfg, num_quantizers)
+
+
+def mimi_decode(
+    params: MimiParams, cfg: MimiConfig, codes: jnp.ndarray
+) -> jnp.ndarray:
+    """codes [B, K, T] -> PCM [B, T * 1920, 1] (mlx .../codec/mimi.py:73-99)."""
+    emb = split_rvq_decode(codes, params["quantizer"], cfg)  # [B, T, hidden]
+    emb = causal_conv_transpose1d(
+        emb,
+        params["upsample"]["w"],
+        params["upsample"].get("b"),
+        stride=cfg.downsample_stride,
+        groups=cfg.upsample_groups,
+        trim_right_ratio=cfg.trim_right_ratio,
+    )
+    emb = transformer_forward(params["decoder_transformer"], cfg, emb)
+    dec_plan = build_decoder_plan(cfg)
+    return seanet_apply(dec_plan, params["decoder"], emb, cfg)
+
+
+# --------------------------------------------------------------------------
+# Streaming decode
+# --------------------------------------------------------------------------
+
+
+class MimiStreamState(NamedTuple):
+    upsample_tail: jnp.ndarray
+    transformer: TransformerRingState
+    decoder: List
+
+
+def decode_stream_init(
+    cfg: MimiConfig, batch: int, dtype=jnp.float32
+) -> MimiStreamState:
+    K = cfg.downsample_kernel
+    return MimiStreamState(
+        upsample_tail=convtr_stream_init(
+            batch, cfg.hidden_size, K, cfg.downsample_stride, dtype
+        ),
+        transformer=ring_state_init(cfg, batch, dtype),
+        decoder=seanet_stream_init(build_decoder_plan(cfg), batch, dtype),
+    )
+
+
+def mimi_decode_step(
+    params: MimiParams,
+    cfg: MimiConfig,
+    state: MimiStreamState,
+    codes: jnp.ndarray,  # [B, K, T_frames] — typically T_frames == 1
+) -> Tuple[MimiStreamState, jnp.ndarray]:
+    """Streaming decode of one (or more) 12.5 Hz frames -> PCM
+    [B, T_frames * 1920, 1]. Streaming output equals batch `mimi_decode`
+    (the property the reference checks by ear in tests/test_decoder.py,
+    asserted in tests/test_mimi_parity.py)."""
+    emb = split_rvq_decode(codes, params["quantizer"], cfg)
+    up_tail, emb = convtr_stream_step(
+        state.upsample_tail,
+        emb,
+        params["upsample"]["w"],
+        params["upsample"].get("b"),
+        stride=cfg.downsample_stride,
+        groups=cfg.upsample_groups,
+    )
+    tstate, emb = transformer_stream_step(
+        params["decoder_transformer"], cfg, state.transformer, emb
+    )
+    dec_state, pcm = seanet_stream_step(
+        build_decoder_plan(cfg), params["decoder"], state.decoder, emb
+    )
+    return MimiStreamState(up_tail, tstate, dec_state), pcm
