@@ -1,0 +1,187 @@
+"""smoltts_tpu — TPU-native DualAR text-to-speech framework.
+
+High-level API mirroring the reference `SmolTTS`
+(mlx_inference/src/smoltts_mlx/__init__.py:25-151): load a DualAR checkpoint
+plus the Mimi codec, synthesize PCM with `__call__`, stream 80 ms chunks with
+`.stream()`, and build voice-cloning prompts with `.create_speaker()`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, List, Optional, Union
+
+import numpy as np
+
+from smoltts_tpu.config import DualARConfig, ModelType  # noqa: F401
+from smoltts_tpu.tokenizer import ByteTokenizer, TokenConfig, load_tokenizer
+
+__version__ = "0.1.0"
+
+# The reference's hardcoded Kokoro voice registry (__init__.py:122-139).
+VOICES = [
+    "heart",
+    "bella",
+    "nova",
+    "sky",
+    "sarah",
+    "michael",
+    "fenrir",
+    "liam",
+    "emma",
+    "isabella",
+    "fable",
+]
+
+
+class SmolTTS:
+    """End-to-end text-to-speech over a DualAR LM + Mimi vocoder."""
+
+    def __init__(
+        self,
+        checkpoint_dir: Union[str, Path],
+        mimi_path: Optional[Union[str, Path]] = None,
+        dtype=None,
+        generation_settings=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from smoltts_tpu.codec.config import MimiConfig
+        from smoltts_tpu.codec.mimi import load_mimi
+        from smoltts_tpu.io.checkpoint_interop import load_params
+        from smoltts_tpu.lm.prompt import PromptEncoder
+        from smoltts_tpu.lm.samplers import GenerationSettings
+
+        checkpoint_dir = Path(checkpoint_dir)
+        self.config = DualARConfig.from_json_file(checkpoint_dir / "config.json")
+        self.tokenizer = load_tokenizer(checkpoint_dir)
+        self.model_type = ModelType.smoltts_v0()
+        self.token_config = TokenConfig.from_tokenizer(
+            self.model_type, self.tokenizer, self.config
+        )
+        self.params = load_params(checkpoint_dir, self.config, dtype=dtype)
+        self.prompt_encoder = PromptEncoder.from_config(
+            self.tokenizer, self.config, self.token_config, self.model_type
+        )
+        self.generation_settings = generation_settings or GenerationSettings()
+
+        self.codec_params = None
+        self.codec_config = MimiConfig()
+        if mimi_path is None:
+            candidate = checkpoint_dir / "mimi.safetensors"
+            mimi_path = candidate if candidate.exists() else None
+        if mimi_path is not None:
+            self.codec_params, self.codec_config = load_mimi(mimi_path, dtype=dtype)
+
+        self.sampling_rate = self.codec_config.sampling_rate
+        self._rng = jax.random.PRNGKey(0)
+        self._jnp = jnp
+
+    # ------------------------------------------------------------------
+
+    def _next_rng(self):
+        import jax
+
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _get_prompt(
+        self, text: str, voice: str, sysprompt: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        voice_id = VOICES.index(voice) if voice in VOICES else 0
+        if sysprompt is None:
+            sysprompt = self.prompt_encoder.encode_text_turn(
+                "system", f"<|speaker:{voice_id}|>"
+            )
+        user = self.prompt_encoder.encode_text_turn("user", text)
+        assistant_prefix = self.prompt_encoder.encode_text_turn("assistant")
+        return np.concatenate([sysprompt, user, assistant_prefix], axis=1)
+
+    def __call__(
+        self,
+        input: str,
+        voice: Optional[str] = "heart",
+        speaker: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Synthesize `input` -> flattened PCM float array."""
+        from smoltts_tpu.codec.mimi import mimi_decode
+        from smoltts_tpu.lm.generate import generate_blocking
+
+        prompt = self._get_prompt(input, voice or "heart", sysprompt=speaker)
+        codes, n_frames, _ = generate_blocking(
+            self.params,
+            self.config,
+            self.token_config,
+            self.generation_settings,
+            [prompt],
+            rng=self._next_rng(),
+        )
+        n = int(n_frames[0])
+        if n == 0 or self.codec_params is None:
+            return np.zeros((0,), np.float32)
+        pcm = mimi_decode(
+            self.codec_params, self.codec_config, self._jnp.asarray(codes[:, :, :n])
+        )
+        return np.asarray(pcm).flatten()
+
+    def stream(
+        self, input: str, voice: Optional[str] = "heart"
+    ) -> Iterator[np.ndarray]:
+        """Yield 80 ms PCM chunks as frames decode (reference __init__.py:83-95)."""
+        import jax
+
+        from smoltts_tpu.codec.mimi import decode_stream_init, mimi_decode_step
+        from smoltts_tpu.lm.generate import FrameGenerator
+
+        if self.codec_params is None:
+            raise RuntimeError("no Mimi weights loaded; pass mimi_path")
+        prompt = self._get_prompt(input, voice or "heart")
+        gen = FrameGenerator(
+            self.params,
+            self.config,
+            self.token_config,
+            self.generation_settings,
+            [prompt],
+            rng=self._next_rng(),
+        )
+        state = decode_stream_init(self.codec_config, batch=1)
+        step = jax.jit(
+            lambda s, c: mimi_decode_step(self.codec_params, self.codec_config, s, c)
+        )
+        for frame in gen:
+            if not bool(np.asarray(frame.is_audio)[0]):
+                continue
+            codes = self._jnp.asarray(np.asarray(frame.audio_codes)[:, :, None])
+            state, pcm = step(state, codes)
+            yield np.asarray(pcm).flatten()
+
+    def create_speaker(
+        self, samples: List[dict], system_prompt: Optional[str] = None
+    ) -> np.ndarray:
+        """Build a voice-cloning conditioning prompt from (text, audio) samples
+        by Mimi-encoding the reference audio (reference __init__.py:97-118)."""
+        from smoltts_tpu.codec.mimi import mimi_encode
+
+        if self.codec_params is None:
+            raise RuntimeError("no Mimi weights loaded; pass mimi_path")
+        turns = []
+        for sample in samples:
+            if "audio" not in sample or "text" not in sample:
+                raise ValueError(
+                    f"Sample must contain both 'text' and 'audio' but got {sample.keys()}"
+                )
+            user_prompt = self.prompt_encoder.encode_text_turn("user", sample["text"])
+            audio = np.asarray(sample["audio"], np.float32).reshape(1, -1)
+            codes = mimi_encode(
+                self.codec_params,
+                self.codec_config,
+                self._jnp.asarray(audio),
+                num_quantizers=8,
+            )
+            vq = self.prompt_encoder.encode_vq(np.asarray(codes)[0])
+            turns.append(user_prompt)
+            turns.append(vq)
+        if system_prompt is not None:
+            turns = [self.prompt_encoder.encode_text_turn("system", system_prompt), *turns]
+        return np.concatenate(turns, axis=1)

@@ -182,6 +182,84 @@ def params_from_hf_state_dict(
     }
 
 
+def init_mimi_params(cfg: MimiConfig, seed: int = 0, dtype=jnp.float32) -> MimiParams:
+    """Random-init Mimi params with the correct shapes (for benchmarks and
+    tests without a checkpoint; real weights come from `load_mimi`)."""
+    rng = np.random.default_rng(seed)
+
+    def conv_p(spec_in, spec_out, k, bias=True, scale=None):
+        scale = scale or (1.0 / np.sqrt(max(spec_in * k, 1)))
+        p = {"w": rng.standard_normal((k, spec_in, spec_out)).astype(np.float32) * scale}
+        if bias:
+            p["b"] = np.zeros((spec_out,), np.float32)
+        return p
+
+    def seanet_p(plan):
+        out = []
+        for spec in plan:
+            if spec.kind == "elu":
+                out.append(None)
+            elif spec.kind in ("conv", "convtr"):
+                out.append(conv_p(spec.in_ch, spec.out_ch, spec.kernel))
+            else:  # resnet
+                out.append(
+                    {
+                        "conv1": conv_p(spec.in_ch, spec.res_hidden, spec.res_kernel),
+                        "conv2": conv_p(spec.res_hidden, spec.out_ch, 1),
+                    }
+                )
+        return out
+
+    d, ff = cfg.hidden_size, cfg.intermediate_size
+    L = cfg.num_hidden_layers
+    s = 1.0 / np.sqrt(d)
+
+    def tf_p():
+        return {
+            "layers": {
+                "ln1_w": np.ones((L, d), np.float32),
+                "ln1_b": np.zeros((L, d), np.float32),
+                "ln2_w": np.ones((L, d), np.float32),
+                "ln2_b": np.zeros((L, d), np.float32),
+                "wq": rng.standard_normal((L, d, d)).astype(np.float32) * s,
+                "wk": rng.standard_normal((L, d, d)).astype(np.float32) * s,
+                "wv": rng.standard_normal((L, d, d)).astype(np.float32) * s,
+                "wo": rng.standard_normal((L, d, d)).astype(np.float32) * s,
+                "fc1": rng.standard_normal((L, d, ff)).astype(np.float32) * s,
+                "fc2": rng.standard_normal((L, ff, d)).astype(np.float32) / np.sqrt(ff),
+                "scale_attn": np.full((L, d), cfg.layer_scale_initial_scale, np.float32),
+                "scale_mlp": np.full((L, d), cfg.layer_scale_initial_scale, np.float32),
+            }
+        }
+
+    def rvq_side(n):
+        return {
+            "in_proj": rng.standard_normal((d, cfg.codebook_dim)).astype(np.float32) * s,
+            "out_proj": rng.standard_normal((cfg.codebook_dim, d)).astype(np.float32)
+            / np.sqrt(cfg.codebook_dim),
+            "embed": rng.standard_normal(
+                (n, cfg.codebook_size, cfg.codebook_dim)
+            ).astype(np.float32),
+        }
+
+    K = cfg.downsample_kernel
+    params: MimiParams = {
+        "encoder": seanet_p(build_encoder_plan(cfg)),
+        "encoder_transformer": tf_p(),
+        "downsample": conv_p(d, d, K, bias=False),
+        "upsample": {"w": rng.standard_normal((K, 1, d)).astype(np.float32) * 0.5},
+        "decoder_transformer": tf_p(),
+        "decoder": seanet_p(build_decoder_plan(cfg)),
+        "quantizer": {
+            "semantic": rvq_side(cfg.num_semantic_quantizers),
+            "acoustic": rvq_side(cfg.num_quantizers - cfg.num_semantic_quantizers),
+        },
+    }
+    if dtype is not None:
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    return params
+
+
 def load_mimi(
     path: Union[str, Path], cfg: Optional[MimiConfig] = None, dtype=None
 ) -> Tuple[MimiParams, MimiConfig]:

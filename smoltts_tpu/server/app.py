@@ -1,0 +1,135 @@
+"""smoltts-server — HTTP API over the TTS engine.
+
+Routes replicate the reference server (mlx .../server/routes/openai.py:6-28,
+elevenlabs.py:14-63, scripts/server.py:18-63):
+
+  POST /v1/audio/speech                       OpenAI-compatible, WAV attachment
+  POST /v1/text-to-speech/{voice_id}          ElevenLabs-compatible blocking
+  POST /v1/text-to-speech/{voice_id}/stream   raw PCM16 streaming (X-Sample-Rate)
+  GET  /                                      static WebAudio PCM player
+  GET  /health                                liveness + model info
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+from typing import Optional
+
+from smoltts_tpu.server.http import HttpServer, Request, Response, StreamingResponse
+from smoltts_tpu.server.settings import ServerSettings
+from smoltts_tpu.server.static_player import INDEX_HTML
+from smoltts_tpu.server.tts_core import TTSCore
+
+
+def build_app(core: TTSCore) -> HttpServer:
+    app = HttpServer()
+
+    @app.get("/")
+    async def index(req: Request):
+        return Response(INDEX_HTML, content_type="text/html; charset=utf-8")
+
+    @app.get("/health")
+    async def health(req: Request):
+        return Response.json({"status": "ok", "sampling_rate": core.model.sampling_rate})
+
+    @app.post("/v1/audio/speech")
+    async def openai_speech(req: Request):
+        item = req.json()
+        if "input" not in item:
+            return Response.error(422, "missing required field: input")
+        response_format = item.get("response_format", "wav")
+        if response_format != "wav":
+            return Response.error(422, "response_format must be 'wav'")
+        audio, media_type = await asyncio.to_thread(
+            core.generate_audio,
+            item["input"],
+            item.get("voice", "alloy"),
+            response_format + "_24000",
+        )
+        return Response(
+            audio,
+            content_type=media_type,
+            headers={"Content-Disposition": 'attachment; filename="speech.wav"'},
+        )
+
+    @app.post("/v1/text-to-speech/{voice_id}")
+    async def elevenlabs_speech(req: Request):
+        item = req.json()
+        if "text" not in item:
+            return Response.error(422, "missing required field: text")
+        output_format = req.query_param("output_format") or "pcm_24000"
+        try:
+            audio, media_type = await asyncio.to_thread(
+                core.generate_audio, item["text"], req.path_params["voice_id"], output_format
+            )
+        except NotImplementedError as e:
+            return Response.error(501, str(e))
+        return Response(
+            audio,
+            content_type=media_type,
+            headers={
+                "Content-Disposition": f'attachment; filename="elevenlabs_speech.{output_format.split("_")[0]}"',
+                "X-Sample-Rate": output_format.split("_")[1],
+            },
+        )
+
+    @app.post("/v1/text-to-speech/{voice_id}/stream")
+    async def elevenlabs_stream(req: Request):
+        item = req.json()
+        if "text" not in item:
+            return Response.error(422, "missing required field: text")
+        voice = req.path_params["voice_id"]
+
+        async def chunks():
+            loop = asyncio.get_running_loop()
+            gen = core.stream_audio(item["text"], voice)
+            while True:
+                chunk = await loop.run_in_executor(None, next, gen, None)
+                if chunk is None:
+                    break
+                yield chunk
+
+        return StreamingResponse(
+            chunks(),
+            content_type="audio/x-pcm",
+            headers={
+                "Content-Disposition": 'attachment; filename="speech.pcm"',
+                "X-Sample-Rate": "24000",
+            },
+        )
+
+    return app
+
+
+def load_core(settings: ServerSettings) -> TTSCore:
+    import time
+
+    from smoltts_tpu import SmolTTS
+
+    t0 = time.time()
+    model = SmolTTS(
+        settings.get_checkpoint_dir(),
+        mimi_path=settings.mimi_path,
+        generation_settings=settings.generation.to_settings(),
+    )
+    print(f"Loaded model and config in {time.time() - t0:.2f}s")
+    return TTSCore(model, settings)
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser(description="smoltts TPU TTS server")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--config", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    settings = ServerSettings.get_settings(args.config)
+    core = load_core(settings)
+    app = build_app(core)
+    print(f"Serving on http://{args.host}:{args.port}")
+    app.run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
