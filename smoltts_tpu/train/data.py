@@ -20,21 +20,29 @@ IGNORE_INDEX = -100
 
 
 def load_splits(path: str, test_size: int = 10_000):
-    """HF-datasets split resolution (reference train/data.py:6-36)."""
+    """HF-datasets split resolution (reference train/data.py:6-36).
+
+    The reference hardcodes test_size=10_000; clamped here so small datasets
+    still split."""
     from datasets import Dataset, load_from_disk
 
     dataset = load_from_disk(path)
+
+    def clamp(ds):
+        return min(test_size, max(1, len(ds) // 10))
+
     if isinstance(dataset, Dataset):
-        dataset = dataset.train_test_split(test_size=test_size)
+        dataset = dataset.train_test_split(test_size=clamp(dataset))
     splits = list(dataset.keys())
     if "full" in splits:
-        split = dataset["full"].shuffle().train_test_split(test_size=test_size)
+        ds = dataset["full"]
+        split = ds.shuffle().train_test_split(test_size=clamp(ds))
         return split["train"], split["test"]
     if "val" in splits:
         return dataset["train"].shuffle(42), dataset["val"]
     if "test" in splits:
         return dataset["train"].shuffle(42), dataset["test"]
-    split = dataset["train"].train_test_split(test_size=test_size)
+    split = dataset["train"].train_test_split(test_size=clamp(dataset["train"]))
     return split["train"], split["test"]
 
 
