@@ -1,8 +1,11 @@
 """Benchmark: smoltts 150M streaming decode on one chip.
 
 Measures the BASELINE.md driver metric — audio-seconds of speech produced per
-wall-clock second per chip at 150M streaming decode (Mimi vocoder included),
-plus p50 first-audio latency (prefill -> first 80 ms PCM chunk, compiled).
+wall-clock second per chip at 150M streaming decode (Mimi vocoder included) —
+and p50 first-audio latency (prefill -> first 80 ms PCM chunk on host,
+compiled). Uses the fused serving pipeline (smoltts_tpu/lm/pipeline.py): one
+dispatch per 80 ms frame for streaming; a scan-chunked variant amortizing
+dispatch overhead is reported as extra.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -13,6 +16,7 @@ vs_baseline is value / 50 — the driver's >50x-realtime-per-chip target
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,20 +28,22 @@ import jax.numpy as jnp
 import numpy as np
 
 FRAME_RATE = 12.5
-N_STREAMS = int(__import__("os").environ.get("BENCH_STREAMS", "16"))
-N_FRAMES = int(__import__("os").environ.get("BENCH_FRAMES", "64"))
+N_STREAMS = int(os.environ.get("BENCH_STREAMS", "32"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 PROMPT_LEN = 64
 
 
 def main():
     from smoltts_tpu.codec.config import MimiConfig
-    from smoltts_tpu.codec.mimi import (
-        decode_stream_init,
-        init_mimi_params,
-        mimi_decode_step,
-    )
+    from smoltts_tpu.codec.mimi import decode_stream_init, init_mimi_params
     from smoltts_tpu.config import smoltts_byte_150m
-    from smoltts_tpu.lm.decode import decode_frame, init_decode_state, prefill
+    from smoltts_tpu.lm.decode import init_decode_state
+    from smoltts_tpu.lm.pipeline import (
+        make_chunk_step,
+        make_prefill_step,
+        make_stream_step,
+    )
     from smoltts_tpu.lm.samplers import GenerationSettings
     from smoltts_tpu.models.dual_ar import init_params
     from smoltts_tpu.tokenizer import TokenConfig
@@ -58,56 +64,69 @@ def main():
     prompt[:, 0] = rng.integers(0, 320, (B, PROMPT_LEN))
     prompt_len = jnp.full((B,), PROMPT_LEN, jnp.int32)
     prompt = jnp.asarray(prompt)
-
     S = 1024
-    # NOTE: params must be jit ARGUMENTS, not closure captures — captured
-    # arrays are baked into the HLO as constants (hundreds of MB at 150M).
-    pf = jax.jit(
-        lambda w, st, p, pl, r: prefill(w, cfg, token_cfg, settings, st, p, pl, r)
-    )
-    df = jax.jit(
-        lambda w, st, r: decode_frame(w, cfg, token_cfg, settings, st, r),
-        donate_argnums=(1,),
-    )
-    mstep = jax.jit(
-        lambda w, ms, c: mimi_decode_step(w, mimi_cfg, ms, c),
-        donate_argnums=(1,),
-    )
 
-    def run_stream(n_frames, time_first=False):
-        """Prefill + n_frames decode+vocode steps; returns (first_audio_s, total_s)."""
-        state = init_decode_state(cfg, B, S, dtype=jnp.bfloat16)
-        mstate = decode_stream_init(mimi_cfg, B, dtype=jnp.bfloat16)
+    prefill_step = make_prefill_step(cfg, token_cfg, settings, mimi_cfg)
+    stream_step = make_stream_step(cfg, token_cfg, settings, mimi_cfg)
+    chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, CHUNK)
+
+    def fresh_state():
+        return (
+            init_decode_state(cfg, B, S, dtype=jnp.bfloat16),
+            decode_stream_init(mimi_cfg, B, dtype=jnp.bfloat16),
+        )
+
+    def run_streaming(n_frames):
+        state, mstate = fresh_state()
         key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
-        state, out = pf(params, state, prompt, prompt_len, key)
-        mstate, pcm = mstep(mimi_params, mstate, out.audio_codes[:, :, None])
-        np.asarray(pcm[0, :4, 0])  # force first chunk to host
+        state, mstate, out = prefill_step(
+            params, mimi_params, state, mstate, prompt, prompt_len, key
+        )
+        np.asarray(out.pcm[0, :4, 0])  # first audible chunk reaches the host
         t_first = time.perf_counter() - t0
-        for i in range(n_frames - 1):
+        for _ in range(n_frames - 1):
             key, sub = jax.random.split(key)
-            state, out = df(params, state, sub)
-            mstate, pcm = mstep(mimi_params, mstate, out.audio_codes[:, :, None])
-        jax.block_until_ready(pcm)
+            state, mstate, out = stream_step(params, mimi_params, state, mstate, sub)
+        jax.block_until_ready(out.pcm)
         return t_first, time.perf_counter() - t0
 
-    # Warmup / compile
-    run_stream(3)
-    # First-audio latency (median of 5)
-    firsts = [run_stream(2)[0] for _ in range(5)]
+    def run_chunked(n_frames):
+        state, mstate = fresh_state()
+        key = jax.random.PRNGKey(1)
+        state, mstate, out = prefill_step(
+            params, mimi_params, state, mstate, prompt, prompt_len, key
+        )
+        jax.block_until_ready(out.pcm)
+        t0 = time.perf_counter()
+        for _ in range(n_frames // CHUNK):
+            key, sub = jax.random.split(key)
+            state, mstate, out = chunk_step(params, mimi_params, state, mstate, sub)
+        jax.block_until_ready(out.pcm)
+        return time.perf_counter() - t0
+
+    # Warmup / compile all three programs.
+    run_streaming(2)
+    run_chunked(CHUNK)
+
+    firsts = [run_streaming(2)[0] for _ in range(5)]
     first_audio_ms = float(np.median(firsts) * 1e3)
-    # Steady-state throughput
-    _, total_s = run_stream(N_FRAMES)
-    audio_s = B * N_FRAMES / FRAME_RATE
-    throughput = audio_s / total_s
+
+    _, stream_s = run_streaming(N_FRAMES)
+    stream_tp = (B * N_FRAMES / FRAME_RATE) / stream_s
+
+    chunk_s = run_chunked(N_FRAMES)
+    chunk_tp = (B * N_FRAMES / FRAME_RATE) / chunk_s
 
     result = {
         "metric": "audio_seconds_per_s_per_chip_150m_streaming",
-        "value": round(throughput, 3),
+        "value": round(stream_tp, 3),
         "unit": "audio_s/s",
-        "vs_baseline": round(throughput / 50.0, 3),
+        "vs_baseline": round(stream_tp / 50.0, 3),
         "extra": {
             "first_audio_ms_p50": round(first_audio_ms, 1),
+            "chunked_audio_s_per_s": round(chunk_tp, 3),
+            "chunk_frames": CHUNK,
             "streams": B,
             "frames": N_FRAMES,
             "platform": jax.devices()[0].platform,

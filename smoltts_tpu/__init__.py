@@ -128,33 +128,49 @@ class SmolTTS:
     def stream(
         self, input: str, voice: Optional[str] = "heart"
     ) -> Iterator[np.ndarray]:
-        """Yield 80 ms PCM chunks as frames decode (reference __init__.py:83-95)."""
+        """Yield 80 ms PCM chunks as frames decode (reference __init__.py:83-95).
+
+        Uses the fused LM-frame + vocoder pipeline: one device dispatch per
+        chunk. Like the reference, every generated frame is vocoded."""
         import jax
 
-        from smoltts_tpu.codec.mimi import decode_stream_init, mimi_decode_step
-        from smoltts_tpu.lm.generate import FrameGenerator
+        from smoltts_tpu.codec.mimi import decode_stream_init
+        from smoltts_tpu.lm.decode import init_decode_state
+        from smoltts_tpu.lm.generate import pad_prompts
+        from smoltts_tpu.lm.pipeline import make_prefill_step, make_stream_step
 
         if self.codec_params is None:
             raise RuntimeError("no Mimi weights loaded; pass mimi_path")
         prompt = self._get_prompt(input, voice or "heart")
-        gen = FrameGenerator(
+        prefill_step = make_prefill_step(
+            self.config, self.token_config, self.generation_settings, self.codec_config
+        )
+        stream_step = make_stream_step(
+            self.config, self.token_config, self.generation_settings, self.codec_config
+        )
+        state = init_decode_state(self.config, 1, self.config.max_seq_len)
+        mstate = decode_stream_init(self.codec_config, batch=1)
+        padded, lens = pad_prompts([prompt])
+        rng = self._next_rng()
+        rng, sub = jax.random.split(rng)
+        state, mstate, out = prefill_step(
             self.params,
-            self.config,
-            self.token_config,
-            self.generation_settings,
-            [prompt],
-            rng=self._next_rng(),
+            self.codec_params,
+            state,
+            mstate,
+            self._jnp.asarray(padded),
+            self._jnp.asarray(lens),
+            sub,
         )
-        state = decode_stream_init(self.codec_config, batch=1)
-        step = jax.jit(
-            lambda s, c: mimi_decode_step(self.codec_params, self.codec_config, s, c)
-        )
-        for frame in gen:
-            if not bool(np.asarray(frame.is_audio)[0]):
-                continue
-            codes = self._jnp.asarray(np.asarray(frame.audio_codes)[:, :, None])
-            state, pcm = step(state, codes)
-            yield np.asarray(pcm).flatten()
+        yield np.asarray(out.pcm).flatten()
+        for _ in range(self.generation_settings.max_new_tokens - 1):
+            if bool(np.asarray(out.finished)[0]):
+                break
+            rng, sub = jax.random.split(rng)
+            state, mstate, out = stream_step(
+                self.params, self.codec_params, state, mstate, sub
+            )
+            yield np.asarray(out.pcm).flatten()
 
     def create_speaker(
         self, samples: List[dict], system_prompt: Optional[str] = None

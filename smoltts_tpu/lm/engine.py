@@ -1,0 +1,264 @@
+"""Continuous-batching decode engine: B fixed slots, per-stream state.
+
+The reference serves one stream at a time through a Python iterator
+(mlx .../lm/generate.py:25-171). This engine is the TPU-native replacement
+(SURVEY.md §2.7 item 5): a fixed batch of B decode slots whose KV caches,
+positions, finished flags, and Mimi vocoder states live on device; streams
+are admitted into free slots (prefill into a slot subset via scatter),
+stepped together every 80 ms frame, and evicted on <|im_end|> or frame
+budget. XLA shapes stay static throughout: admission specializes on
+(n_new, prompt_bucket) and step on B.
+
+Host-side, `DecodeEngine` is synchronous (`submit` + `step`); the serving
+layer wraps it in a background thread (`EngineLoop`) that fans frames out to
+per-stream queues.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoltts_tpu.config import DualARConfig
+from smoltts_tpu.lm.decode import (
+    DecodeState,
+    decode_frame,
+    init_decode_state,
+    prefill,
+)
+from smoltts_tpu.lm.generate import pad_prompts
+from smoltts_tpu.lm.samplers import GenerationSettings
+from smoltts_tpu.tokenizer import TokenConfig
+
+
+@dataclass
+class StreamHandle:
+    stream_id: int
+    slot: int
+    frames_emitted: int = 0
+    max_frames: int = 1024
+    done: bool = False
+
+
+class DecodeEngine:
+    """Slot-based continuous batching over the jitted prefill/decode kernels."""
+
+    def __init__(
+        self,
+        params,
+        cfg: DualARConfig,
+        token_cfg: TokenConfig,
+        settings: GenerationSettings,
+        num_slots: int = 32,
+        max_seq_len: Optional[int] = None,
+        kv_dtype=jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+        prompt_bucket: int = 64,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.token_cfg = token_cfg
+        self.settings = settings
+        self.num_slots = num_slots
+        self.S = max_seq_len or cfg.max_seq_len
+        self.prompt_bucket = prompt_bucket
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        self.state = init_decode_state(cfg, num_slots, self.S, dtype=kv_dtype)
+        # All slots start finished (idle).
+        self.state = self.state._replace(
+            finished=jnp.ones((num_slots,), bool)
+        )
+        self._ids = itertools.count()
+        self._free: List[int] = list(range(num_slots))
+        self._streams: Dict[int, StreamHandle] = {}
+        self._slot_to_stream: Dict[int, int] = {}
+        self._pending: List[Tuple[int, np.ndarray]] = []
+
+        self._decode = jax.jit(
+            partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
+            donate_argnames=("state",),
+        )
+        self._admit_cache: Dict[Tuple[int, int], callable] = {}
+
+    # ------------------------------------------------------------------
+
+    @property
+    def active(self) -> int:
+        return len(self._streams)
+
+    def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> int:
+        """Queue a [num_rows, T] prompt; returns a stream id."""
+        sid = next(self._ids)
+        self._pending.append((sid, np.asarray(prompt, np.int32)))
+        h = StreamHandle(stream_id=sid, slot=-1)
+        h.max_frames = max_frames or self.settings.max_new_tokens
+        self._streams[sid] = h
+        return sid
+
+    # ------------------------------------------------------------------
+
+    def _admit_fn(self, n_new: int, T: int):
+        key = (n_new, T)
+        if key not in self._admit_cache:
+
+            def admit(params, state: DecodeState, slots, prompt, prompt_len, rng):
+                sub = init_decode_state(self.cfg, n_new, self.S, dtype=state.k.dtype)
+                sub, out = prefill(
+                    params,
+                    self.cfg,
+                    self.token_cfg,
+                    self.settings,
+                    sub,
+                    prompt,
+                    prompt_len,
+                    rng,
+                )
+                new_state = DecodeState(
+                    k=state.k.at[:, slots].set(sub.k),
+                    v=state.v.at[:, slots].set(sub.v),
+                    pos=state.pos.at[slots].set(sub.pos),
+                    prev_tokens=state.prev_tokens.at[slots].set(sub.prev_tokens),
+                    finished=state.finished.at[slots].set(sub.finished),
+                )
+                return new_state, out
+
+            self._admit_cache[key] = jax.jit(admit, donate_argnames=("state",))
+        return self._admit_cache[key]
+
+    def _admit_pending(self) -> List[Tuple[int, dict]]:
+        """Prefill queued prompts into free slots; returns their first frames."""
+        emitted = []
+        while self._pending and self._free:
+            n = min(len(self._pending), len(self._free))
+            batch = [self._pending.pop(0) for _ in range(n)]
+            slots = [self._free.pop(0) for _ in range(n)]
+            for (sid, _), slot in zip(batch, slots):
+                self._streams[sid].slot = slot
+                self._slot_to_stream[slot] = sid
+
+            prompt, lens = pad_prompts(
+                [p for _, p in batch], pad_to_multiple=self.prompt_bucket
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            admit = self._admit_fn(n, prompt.shape[-1])
+            self.state, out = admit(
+                self.params,
+                self.state,
+                jnp.asarray(slots, jnp.int32),
+                jnp.asarray(prompt),
+                jnp.asarray(lens),
+                sub,
+            )
+            out_np = {
+                "audio_codes": np.asarray(out.audio_codes),
+                "is_audio": np.asarray(out.is_audio),
+                "finished": np.asarray(out.finished),
+            }
+            for i, (sid, _) in enumerate(batch):
+                emitted.append(
+                    (
+                        sid,
+                        {
+                            "audio_codes": out_np["audio_codes"][i],
+                            "is_audio": bool(out_np["is_audio"][i]),
+                            "finished": bool(out_np["finished"][i]),
+                        },
+                    )
+                )
+        return emitted
+
+    def _bookkeep(self, sid: int, frame: dict) -> dict:
+        h = self._streams[sid]
+        h.frames_emitted += 1
+        if frame["finished"] or h.frames_emitted >= h.max_frames:
+            h.done = True
+            frame["finished"] = True
+            self._release(sid)
+        return frame
+
+    def _release(self, sid: int):
+        h = self._streams.pop(sid, None)
+        if h is None or h.slot < 0:
+            return
+        self._slot_to_stream.pop(h.slot, None)
+        self._free.append(h.slot)
+        # Mark the slot finished on device so it stops consuming sampler work.
+        self.state = self.state._replace(
+            finished=self.state.finished.at[h.slot].set(True)
+        )
+
+    def step(self) -> List[Tuple[int, dict]]:
+        """Admit pending streams, decode one frame for all live slots.
+
+        Returns [(stream_id, {audio_codes [ncb], is_audio, finished})].
+        """
+        emitted = [(sid, self._bookkeep(sid, f)) for sid, f in self._admit_pending()]
+
+        live_slots = list(self._slot_to_stream.items())
+        if live_slots:
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, out = self._decode(self.params, state=self.state, rng=sub)
+            codes = np.asarray(out.audio_codes)
+            is_audio = np.asarray(out.is_audio)
+            fin = np.asarray(out.finished)
+            for slot, sid in live_slots:
+                frame = {
+                    "audio_codes": codes[slot],
+                    "is_audio": bool(is_audio[slot]),
+                    "finished": bool(fin[slot]),
+                }
+                emitted.append((sid, self._bookkeep(sid, frame)))
+        return emitted
+
+    def has_work(self) -> bool:
+        return bool(self._pending or self._slot_to_stream)
+
+
+class EngineLoop:
+    """Background thread driving a DecodeEngine; frames fan out to queues."""
+
+    def __init__(self, engine: DecodeEngine, poll_interval: float = 0.002):
+        self.engine = engine
+        self.poll_interval = poll_interval
+        self._queues: Dict[int, "queue.Queue"] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> "queue.Queue":
+        q: "queue.Queue" = queue.Queue()
+        with self._lock:
+            sid = self.engine.submit(prompt, max_frames)
+            self._queues[sid] = q
+        return q
+
+    def _run(self):
+        import time
+
+        while not self._stop.is_set():
+            with self._lock:
+                work = self.engine.has_work()
+                frames = self.engine.step() if work else []
+            for sid, frame in frames:
+                q = self._queues.get(sid)
+                if q is not None:
+                    q.put(frame)
+                    if frame["finished"]:
+                        q.put(None)  # sentinel
+                        self._queues.pop(sid, None)
+            if not work:
+                time.sleep(self.poll_interval)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)

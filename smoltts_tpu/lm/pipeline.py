@@ -1,0 +1,124 @@
+"""Fused serving pipeline: LM frame step + Mimi vocoder in single dispatches.
+
+The reference hot loop takes 9 host syncs per frame (SURVEY.md §3.3); the
+plain jitted path here takes 2-3 dispatches per frame, which still dominates
+wall-clock through a remote/tunneled runtime. This module collapses the
+whole 80 ms pipeline:
+
+- `make_stream_step` — ONE jitted program per frame: slow step + fast
+  micro-loop + sampling + RVQ decode + upsample + codec transformer + SEANet
+  -> 1920 PCM samples per stream. Minimal-latency streaming.
+- `make_chunk_step` — `lax.scan` over K frames inside one program (LM and
+  vocoder advance together) -> [B, K*1920] PCM per dispatch. Throughput mode:
+  dispatch overhead amortizes K-fold; latency granularity K*80 ms.
+
+Like the reference streaming path (SmolTTS.stream, __init__.py:83-95), every
+frame — audio or not — is pushed through the vocoder; `is_audio` flags let
+the caller drop silence frames.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smoltts_tpu.codec.config import MimiConfig
+from smoltts_tpu.codec.mimi import MimiStreamState, mimi_decode_step
+from smoltts_tpu.config import DualARConfig
+from smoltts_tpu.lm.decode import DecodeState, decode_frame, prefill
+from smoltts_tpu.lm.samplers import GenerationSettings
+from smoltts_tpu.tokenizer import TokenConfig
+
+
+class StreamStepOutput(NamedTuple):
+    pcm: jnp.ndarray  # [B, samples, 1]
+    audio_codes: jnp.ndarray  # [B, ncb] (or [B, ncb, K] chunked)
+    is_audio: jnp.ndarray  # [B] (or [B, K])
+    finished: jnp.ndarray  # [B]
+
+
+def make_stream_step(
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    settings: GenerationSettings,
+    mimi_cfg: MimiConfig,
+):
+    """(lm_params, mimi_params, state, mimi_state, rng) ->
+    (state', mimi_state', StreamStepOutput) — one dispatch per frame."""
+
+    def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
+        state, out = decode_frame(lm_params, cfg, token_cfg, settings, state, rng)
+        mimi_state, pcm = mimi_decode_step(
+            mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
+        )
+        return state, mimi_state, StreamStepOutput(
+            pcm=pcm,
+            audio_codes=out.audio_codes,
+            is_audio=out.is_audio,
+            finished=out.finished,
+        )
+
+    return jax.jit(step, donate_argnames=("state", "mimi_state"))
+
+
+def make_prefill_step(
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    settings: GenerationSettings,
+    mimi_cfg: MimiConfig,
+):
+    """Prefill + first frame + first PCM chunk in one dispatch
+    (minimizes first-audio latency)."""
+
+    def step(lm_params, mimi_params, state, mimi_state, prompt, prompt_len, rng):
+        state, out = prefill(
+            lm_params, cfg, token_cfg, settings, state, prompt, prompt_len, rng
+        )
+        mimi_state, pcm = mimi_decode_step(
+            mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
+        )
+        return state, mimi_state, StreamStepOutput(
+            pcm=pcm,
+            audio_codes=out.audio_codes,
+            is_audio=out.is_audio,
+            finished=out.finished,
+        )
+
+    return jax.jit(step, donate_argnames=("state", "mimi_state"))
+
+
+def make_chunk_step(
+    cfg: DualARConfig,
+    token_cfg: TokenConfig,
+    settings: GenerationSettings,
+    mimi_cfg: MimiConfig,
+    frames_per_chunk: int,
+):
+    """K frames of LM + vocoder per dispatch via lax.scan (throughput mode)."""
+
+    def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
+        def body(carry, _):
+            state, mimi_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            state, out = decode_frame(lm_params, cfg, token_cfg, settings, state, sub)
+            mimi_state, pcm = mimi_decode_step(
+                mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
+            )
+            return (state, mimi_state, rng), (pcm, out.audio_codes, out.is_audio)
+
+        (state, mimi_state, _), (pcm, codes, is_audio) = jax.lax.scan(
+            body, (state, mimi_state, rng), None, length=frames_per_chunk
+        )
+        # pcm: [K, B, spf, 1] -> [B, K*spf, 1]
+        K, B, spf, _ = pcm.shape
+        pcm = pcm.transpose(1, 0, 2, 3).reshape(B, K * spf, 1)
+        return state, mimi_state, StreamStepOutput(
+            pcm=pcm,
+            audio_codes=codes.transpose(1, 2, 0),
+            is_audio=is_audio.transpose(1, 0),
+            finished=state.finished,
+        )
+
+    return jax.jit(step, donate_argnames=("state", "mimi_state"))

@@ -1,0 +1,116 @@
+"""Continuous-batching engine tests: staggered admission, eviction, slot
+reuse, and equivalence with single-stream generation at temperature 0."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from smoltts_tpu.config import tiny_debug_config, ModelType
+from smoltts_tpu.lm.engine import DecodeEngine, EngineLoop
+from smoltts_tpu.lm.generate import FrameGenerator
+from smoltts_tpu.lm.samplers import GenerationSettings
+from smoltts_tpu.models.dual_ar import init_params
+from smoltts_tpu.tokenizer import ByteTokenizer, TokenConfig
+
+CB = 32
+
+
+def setup():
+    cfg = tiny_debug_config(codebook_size=CB, vocab_size=256 + 64 + CB)
+    tok = ByteTokenizer(CB)
+    token_cfg = TokenConfig.from_tokenizer(ModelType.smoltts_v0(), tok, cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, token_cfg, params
+
+
+def audio_prompt(cfg, token_cfg, T, seed):
+    rng = np.random.default_rng(seed)
+    R = cfg.num_rows
+    p = np.zeros((R, T), dtype=np.int32)
+    c0 = rng.integers(0, cfg.codebook_size, T)
+    p[0] = token_cfg.semantic_start_id + c0
+    p[1] = c0
+    p[2:] = rng.integers(0, cfg.codebook_size, (R - 2, T))
+    return p
+
+
+def test_staggered_admission_matches_single_stream():
+    cfg, token_cfg, params = setup()
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=5)
+    prompts = [audio_prompt(cfg, token_cfg, 6, s) for s in range(3)]
+
+    # Single-stream references (greedy => deterministic, rng-independent).
+    singles = []
+    for p in prompts:
+        gen = FrameGenerator(
+            params, cfg, token_cfg, settings, [p], max_seq_len=64, kv_dtype=jnp.float32
+        )
+        singles.append([np.asarray(f.audio_codes)[0] for f in gen])
+
+    engine = DecodeEngine(
+        params, cfg, token_cfg, settings, num_slots=2, max_seq_len=64,
+        kv_dtype=jnp.float32, prompt_bucket=8,
+    )
+    # Stagger: submit 0 and 1, then 2 after a few steps (slot becomes free
+    # only after eviction).
+    sids = [engine.submit(prompts[0]), engine.submit(prompts[1])]
+    collected = {sid: [] for sid in sids}
+    for step in range(20):
+        if step == 2:
+            sid2 = engine.submit(prompts[2])
+            collected[sid2] = []
+            sids.append(sid2)
+        for sid, frame in engine.step():
+            collected[sid].append(frame)
+        if not engine.has_work():
+            break
+    assert not engine.has_work()
+
+    for sid, ref_frames in zip(sids, singles):
+        got = [f["audio_codes"] for f in collected[sid]]
+        assert len(got) == len(ref_frames), f"stream {sid}: {len(got)} vs {len(ref_frames)}"
+        for g, r in zip(got, ref_frames):
+            np.testing.assert_array_equal(g, r)
+
+
+def test_slot_reuse_and_eviction():
+    cfg, token_cfg, params = setup()
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=2)
+    engine = DecodeEngine(
+        params, cfg, token_cfg, settings, num_slots=1, max_seq_len=64,
+        kv_dtype=jnp.float32, prompt_bucket=8,
+    )
+    p = audio_prompt(cfg, token_cfg, 4, 9)
+    s1 = engine.submit(p)
+    s2 = engine.submit(p)  # must wait for slot 0 to free
+    frames = {s1: 0, s2: 0}
+    for _ in range(12):
+        for sid, f in engine.step():
+            frames[sid] += 1
+        if not engine.has_work():
+            break
+    assert frames[s1] == 2 and frames[s2] == 2
+    assert engine._free == [0]
+
+
+def test_engine_loop_thread():
+    cfg, token_cfg, params = setup()
+    settings = GenerationSettings(default_temp=0.7, default_fast_temp=0.7, max_new_tokens=3)
+    engine = DecodeEngine(
+        params, cfg, token_cfg, settings, num_slots=2, max_seq_len=64,
+        kv_dtype=jnp.float32, prompt_bucket=8,
+    )
+    loop = EngineLoop(engine)
+    try:
+        q = loop.submit(audio_prompt(cfg, token_cfg, 4, 3))
+        frames = []
+        while True:
+            item = q.get(timeout=60)
+            if item is None:
+                break
+            frames.append(item)
+        assert 1 <= len(frames) <= 3
+        assert frames[-1]["finished"]
+    finally:
+        loop.stop()
