@@ -80,29 +80,27 @@ def main():
         state, mstate = fresh_state()
         key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
-        state, mstate, out = prefill_step(
+        state, mstate, key, out = prefill_step(
             params, mimi_params, state, mstate, prompt, prompt_len, key
         )
         np.asarray(out.pcm[0, :4, 0])  # first audible chunk reaches the host
         t_first = time.perf_counter() - t0
         for _ in range(n_frames - 1):
-            key, sub = jax.random.split(key)
-            state, mstate, out = stream_step(params, mimi_params, state, mstate, sub)
-        jax.block_until_ready(out.pcm)
+            state, mstate, key, out = stream_step(params, mimi_params, state, mstate, key)
+        np.asarray(out.pcm)  # fetch the final chunk: forces the full chain
         return t_first, time.perf_counter() - t0
 
     def run_chunked(n_frames):
         state, mstate = fresh_state()
         key = jax.random.PRNGKey(1)
-        state, mstate, out = prefill_step(
+        state, mstate, key, out = prefill_step(
             params, mimi_params, state, mstate, prompt, prompt_len, key
         )
         jax.block_until_ready(out.pcm)
         t0 = time.perf_counter()
         for _ in range(n_frames // CHUNK):
-            key, sub = jax.random.split(key)
-            state, mstate, out = chunk_step(params, mimi_params, state, mstate, sub)
-        jax.block_until_ready(out.pcm)
+            state, mstate, key, out = chunk_step(params, mimi_params, state, mstate, key)
+        np.asarray(out.pcm)
         return time.perf_counter() - t0
 
     # Warmup / compile all three programs.

@@ -152,23 +152,21 @@ class SmolTTS:
         mstate = decode_stream_init(self.codec_config, batch=1)
         padded, lens = pad_prompts([prompt])
         rng = self._next_rng()
-        rng, sub = jax.random.split(rng)
-        state, mstate, out = prefill_step(
+        state, mstate, rng, out = prefill_step(
             self.params,
             self.codec_params,
             state,
             mstate,
             self._jnp.asarray(padded),
             self._jnp.asarray(lens),
-            sub,
+            rng,
         )
         yield np.asarray(out.pcm).flatten()
         for _ in range(self.generation_settings.max_new_tokens - 1):
             if bool(np.asarray(out.finished)[0]):
                 break
-            rng, sub = jax.random.split(rng)
-            state, mstate, out = stream_step(
-                self.params, self.codec_params, state, mstate, sub
+            state, mstate, rng, out = stream_step(
+                self.params, self.codec_params, state, mstate, rng
             )
             yield np.asarray(out.pcm).flatten()
 

@@ -52,8 +52,8 @@ from smoltts_tpu.tokenizer import TokenConfig
 class DecodeState(NamedTuple):
     """Per-slot decoding state for B concurrent streams."""
 
-    k: jnp.ndarray  # [n_layer, B, S, n_kv_head, head_dim]
-    v: jnp.ndarray  # [n_layer, B, S, n_kv_head, head_dim]
+    k: jnp.ndarray  # [n_layer, B, n_kv_head, S, head_dim] (head-major)
+    v: jnp.ndarray  # [n_layer, B, n_kv_head, S, head_dim]
     pos: jnp.ndarray  # [B] int32 — number of cached tokens == next write slot
     prev_tokens: jnp.ndarray  # [B, num_rows] int32 — frame fed to next step
     finished: jnp.ndarray  # [B] bool
@@ -71,7 +71,7 @@ def init_decode_state(
     cfg: DualARConfig, batch_size: int, max_seq_len: Optional[int] = None, dtype=jnp.bfloat16
 ) -> DecodeState:
     S = max_seq_len or cfg.max_seq_len
-    kv_shape = (cfg.n_layer, batch_size, S, cfg.n_local_heads, cfg.head_dim)
+    kv_shape = (cfg.n_layer, batch_size, cfg.n_local_heads, S, cfg.head_dim)
     return DecodeState(
         k=jnp.zeros(kv_shape, dtype),
         v=jnp.zeros(kv_shape, dtype),
@@ -87,37 +87,27 @@ def init_decode_state(
 
 
 def _write_kv(cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Write new [B, T, H, hd] into cache [B, S, H, hd] at per-slot positions."""
+    """Write new [B, T, H, hd] into cache [B, H, S, hd] at per-slot positions.
+
+    T == 1 (the decode hot path) uses a single batched scatter — a vmapped
+    dynamic_update_slice lowers to a while-loop over the batch (~70 us/layer
+    on v5e). Prefill (T > 1) keeps the vmapped slice write.
+    """
+    new = new.transpose(0, 2, 1, 3)  # [B, H, T, hd]
+    B = cache.shape[0]
+    if new.shape[2] == 1:
+        return cache.at[jnp.arange(B), :, pos].set(new[:, :, 0].astype(cache.dtype))
 
     def write_one(c, n, p):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (p, 0, 0))
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
 
     return jax.vmap(write_one)(cache, new, pos)
-
-
-def _cached_sdpa(
-    q: jnp.ndarray,  # [B, Tq, n_head, hd]
-    k: jnp.ndarray,  # [B, S, n_kv, hd]
-    v: jnp.ndarray,
-    valid_bk: jnp.ndarray,  # [B, S] bool
-) -> jnp.ndarray:
-    B, Tq, n_head, hd = q.shape
-    n_kv = k.shape[2]
-    group = n_head // n_kv
-    qg = q.reshape(B, Tq, n_kv, group, hd)
-    logits = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
-    ) * (hd**-0.5)
-    logits = jnp.where(valid_bk[:, None, None, None, :], logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
-    return out.reshape(B, Tq, n_head * hd)
 
 
 def _decode_trunk(
     layer_params: dict,
     x: jnp.ndarray,  # [B, T, dim]
-    k_cache: jnp.ndarray,  # [L, B, S, n_kv, hd]
+    k_cache: jnp.ndarray,  # [L, B, n_kv, S, hd]
     v_cache: jnp.ndarray,
     pos: jnp.ndarray,  # [B] write position of x[:, 0]
     dims: AttnDims,
@@ -133,7 +123,7 @@ def _decode_trunk(
     a per-slot validity mask (k index <= pos + query offset).
     """
     B, T, _ = x.shape
-    S = k_cache.shape[2]
+    S = k_cache.shape[3]
     k_idx = jnp.arange(S)
 
     def block(carry, lp_kv):
@@ -153,8 +143,10 @@ def _decode_trunk(
             valid = k_idx[None, None, :] <= (pos[:, None] + jnp.arange(T)[None, :])[..., None]
             att = _cached_sdpa_multi(q, kc, vc, valid)
         else:
-            valid = k_idx[None, :] <= pos[:, None]
-            att = _cached_sdpa(q, kc, vc, valid)
+            # Fused single-query kernel on TPU (XLA reference elsewhere).
+            from smoltts_tpu.ops.attention import decode_attention
+
+            att = decode_attention(q[:, 0], kc, vc, pos)[:, None, :]
         h = h + att @ lp["wo"]
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
         h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
@@ -167,17 +159,18 @@ def _decode_trunk(
 def _cached_sdpa_multi(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, valid_bqk: jnp.ndarray
 ) -> jnp.ndarray:
-    """Like _cached_sdpa but with a per-query mask [B, Tq, S] (prefill)."""
+    """Multi-query attention over the head-major cache with a per-query mask
+    [B, Tq, S] (prefill)."""
     B, Tq, n_head, hd = q.shape
-    n_kv = k.shape[2]
+    n_kv = k.shape[1]
     group = n_head // n_kv
     qg = q.reshape(B, Tq, n_kv, group, hd)
     logits = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+        "bqhgd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32
     ) * (hd**-0.5)
     logits = jnp.where(valid_bqk[:, None, None, :, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v)
     return out.reshape(B, Tq, n_head * hd)
 
 
@@ -204,30 +197,59 @@ def _fast_micro_loop(
     fcos, fsin = rope_cos_sin(jnp.arange(n), cfg.fast_head_dim, cfg.rope_base)
     x0 = project_fast_in(params, cfg, hidden)[:, None, :]  # [B, 1, fast_dim]
 
-    kv_shape = (cfg.n_fast_layer, B, n, cfg.fast_n_local_heads, cfg.fast_head_dim)
+    kv_shape = (cfg.n_fast_layer, B, cfg.fast_n_local_heads, n, cfg.fast_head_dim)
     k0 = jnp.zeros(kv_shape, x0.dtype)
     v0 = jnp.zeros(kv_shape, x0.dtype)
-    pos0 = jnp.zeros((B,), jnp.int32)
     w_out = params["fast_output"]
 
     fast_temp = settings.default_fast_temp
+    n_idx = jnp.arange(n)
+
+    def fast_trunk_step(x, kc, vc, i, cos_i, sin_i):
+        """One micro-step through the fast layers.
+
+        Unlike the slow trunk, the position `i` is a SCALAR shared by every
+        stream, so cache writes are one dynamic_update_slice per layer (a
+        vmapped per-stream write lowers to thousands of tiny select ops —
+        5.6 ms/frame on v5e before this specialization)."""
+
+        def block(h, lp_kv):
+            lp, kcl, vcl = lp_kv  # kcl: [B, H_kv, n, hd]
+            hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+            qkv = hn @ lp["wqkv"]
+            if "wqkv_bias" in lp:
+                qkv = qkv + lp["wqkv_bias"]
+            q, k, v = split_qkv(qkv, fdims)  # [B, 1, H, hd]
+            q = apply_rope(q, cos_i, sin_i)
+            k = apply_rope(k, cos_i, sin_i)
+            kcl = jax.lax.dynamic_update_slice(
+                kcl, k.transpose(0, 2, 1, 3).astype(kcl.dtype), (0, 0, i, 0)
+            )
+            vcl = jax.lax.dynamic_update_slice(
+                vcl, v.transpose(0, 2, 1, 3).astype(vcl.dtype), (0, 0, i, 0)
+            )
+            # Attention with a shared mask over the n cached positions.
+            group = fdims.n_head // fdims.n_kv_head
+            qg = q[:, 0].reshape(B, fdims.n_kv_head, group, fdims.head_dim)
+            logits = jnp.einsum(
+                "bhgd,bhkd->bhgk", qg, kcl, preferred_element_type=jnp.float32
+            ) * (fdims.head_dim**-0.5)
+            logits = jnp.where(n_idx[None, None, None, :] <= i, logits, -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1).astype(vcl.dtype)
+            att = jnp.einsum("bhgk,bhkd->bhgd", probs, vcl)
+            att = att.reshape(B, 1, fdims.n_head * fdims.head_dim)
+            h = h + att @ lp["wo"]
+            hn = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+            h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+            return h, (kcl, vcl)
+
+        x, (kc, vc) = jax.lax.scan(block, x, (params["fast_layers"], kc, vc))
+        return x, kc, vc
 
     def step(carry, i):
         x, kc, vc, rng = carry
-        pos = pos0 + i
         cos_i, sin_i = fcos[i][None, None], fsin[i][None, None]  # [1,1,half]
-        h, kc, vc = _decode_trunk(
-            params["fast_layers"],
-            x,
-            kc,
-            vc,
-            pos,
-            fdims,
-            cos_i,
-            sin_i,
-            causal_within=False,
-            norm_eps=cfg.norm_eps,
-        )
+        h, kc, vc = fast_trunk_step(x, kc, vc, i, cos_i, sin_i)
         fast_out = rms_norm(h[:, 0], params["fast_norm"], cfg.norm_eps)
         if cfg.depthwise_output:
             w_i = jax.lax.dynamic_index_in_dim(w_out, i, axis=0, keepdims=False)
@@ -436,14 +458,15 @@ def decode_frame(
 
 def make_decode_fns(cfg: DualARConfig, token_cfg: TokenConfig, settings: GenerationSettings):
     """Build jitted (prefill, decode_frame) closures with donated state."""
+    from smoltts_tpu.lm.pipeline import _donate_names
+
     pf = jax.jit(
         partial(prefill, cfg=cfg, token_cfg=token_cfg, settings=settings),
-        static_argnames=(),
-        donate_argnames=("state",),
+        donate_argnames=_donate_names("state"),
     )
     df = jax.jit(
         partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
-        donate_argnames=("state",),
+        donate_argnames=_donate_names("state"),
     )
 
     def prefill_fn(params, state, prompt, prompt_len, rng):

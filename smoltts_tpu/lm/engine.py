@@ -83,9 +83,11 @@ class DecodeEngine:
         self._slot_to_stream: Dict[int, int] = {}
         self._pending: List[Tuple[int, np.ndarray]] = []
 
+        from smoltts_tpu.lm.pipeline import _donate_names
+
         self._decode = jax.jit(
             partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
-            donate_argnames=("state",),
+            donate_argnames=_donate_names("state"),
         )
         self._admit_cache: Dict[Tuple[int, int], callable] = {}
 
@@ -131,7 +133,9 @@ class DecodeEngine:
                 )
                 return new_state, out
 
-            self._admit_cache[key] = jax.jit(admit, donate_argnames=("state",))
+            from smoltts_tpu.lm.pipeline import _donate_names
+
+            self._admit_cache[key] = jax.jit(admit, donate_argnames=_donate_names("state"))
         return self._admit_cache[key]
 
     def _admit_pending(self) -> List[Tuple[int, dict]]:

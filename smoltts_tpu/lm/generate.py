@@ -185,4 +185,6 @@ def make_device_generator(
             state.finished,
         )
 
-    return jax.jit(run, donate_argnames=("state",))
+    from smoltts_tpu.lm.pipeline import _donate_names
+
+    return jax.jit(run, donate_argnames=_donate_names("state"))

@@ -32,6 +32,15 @@ from smoltts_tpu.lm.samplers import GenerationSettings
 from smoltts_tpu.tokenizer import TokenConfig
 
 
+def _donate_names(*names):
+    """Buffer donation is opt-in (SMOLTTS_DONATE=1): through the tunneled
+    TPU runtime used here a donated dispatch costs ~2 s (the relay re-stages
+    donated buffers); on a direct-attached TPU donation halves state memory."""
+    import os
+
+    return names if os.environ.get("SMOLTTS_DONATE") == "1" else ()
+
+
 class StreamStepOutput(NamedTuple):
     pcm: jnp.ndarray  # [B, samples, 1]
     audio_codes: jnp.ndarray  # [B, ncb] (or [B, ncb, K] chunked)
@@ -46,21 +55,26 @@ def make_stream_step(
     mimi_cfg: MimiConfig,
 ):
     """(lm_params, mimi_params, state, mimi_state, rng) ->
-    (state', mimi_state', StreamStepOutput) — one dispatch per frame."""
+    (state', mimi_state', rng', StreamStepOutput) — one dispatch per frame.
+
+    The PRNG key is split INSIDE the program and threaded through the
+    return value: a host-side jax.random.split per frame costs ~15 ms
+    through a tunneled runtime and serializes the dispatch pipeline."""
 
     def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
-        state, out = decode_frame(lm_params, cfg, token_cfg, settings, state, rng)
+        rng, sub = jax.random.split(rng)
+        state, out = decode_frame(lm_params, cfg, token_cfg, settings, state, sub)
         mimi_state, pcm = mimi_decode_step(
             mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
         )
-        return state, mimi_state, StreamStepOutput(
+        return state, mimi_state, rng, StreamStepOutput(
             pcm=pcm,
             audio_codes=out.audio_codes,
             is_audio=out.is_audio,
             finished=out.finished,
         )
 
-    return jax.jit(step, donate_argnames=("state", "mimi_state"))
+    return jax.jit(step, donate_argnames=_donate_names("state", "mimi_state"))
 
 
 def make_prefill_step(
@@ -73,20 +87,21 @@ def make_prefill_step(
     (minimizes first-audio latency)."""
 
     def step(lm_params, mimi_params, state, mimi_state, prompt, prompt_len, rng):
+        rng, sub = jax.random.split(rng)
         state, out = prefill(
-            lm_params, cfg, token_cfg, settings, state, prompt, prompt_len, rng
+            lm_params, cfg, token_cfg, settings, state, prompt, prompt_len, sub
         )
         mimi_state, pcm = mimi_decode_step(
             mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
         )
-        return state, mimi_state, StreamStepOutput(
+        return state, mimi_state, rng, StreamStepOutput(
             pcm=pcm,
             audio_codes=out.audio_codes,
             is_audio=out.is_audio,
             finished=out.finished,
         )
 
-    return jax.jit(step, donate_argnames=("state", "mimi_state"))
+    return jax.jit(step, donate_argnames=_donate_names("state", "mimi_state"))
 
 
 def make_chunk_step(
@@ -108,17 +123,17 @@ def make_chunk_step(
             )
             return (state, mimi_state, rng), (pcm, out.audio_codes, out.is_audio)
 
-        (state, mimi_state, _), (pcm, codes, is_audio) = jax.lax.scan(
+        (state, mimi_state, rng), (pcm, codes, is_audio) = jax.lax.scan(
             body, (state, mimi_state, rng), None, length=frames_per_chunk
         )
         # pcm: [K, B, spf, 1] -> [B, K*spf, 1]
         K, B, spf, _ = pcm.shape
         pcm = pcm.transpose(1, 0, 2, 3).reshape(B, K * spf, 1)
-        return state, mimi_state, StreamStepOutput(
+        return state, mimi_state, rng, StreamStepOutput(
             pcm=pcm,
             audio_codes=codes.transpose(1, 2, 0),
             is_audio=is_audio.transpose(1, 0),
             finished=state.finished,
         )
 
-    return jax.jit(step, donate_argnames=("state", "mimi_state"))
+    return jax.jit(step, donate_argnames=_donate_names("state", "mimi_state"))

@@ -1,0 +1,110 @@
+"""Single-token decode attention over a preallocated KV cache.
+
+The decode hot loop calls attention once per layer per frame with a
+single-query q [B, H, hd] against the cache k/v [B, S, n_kv, hd] and a
+per-stream valid length. The XLA composition (einsum + where + softmax +
+einsum) emits several small kernels per call; the Pallas kernel fuses the
+whole thing: grid over (B, n_kv), per-block masked flash-style attention in
+VMEM, fp32 accumulation, GQA by grouping query heads per KV head.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def decode_attention_xla(
+    q: jnp.ndarray,  # [B, H, hd]
+    k: jnp.ndarray,  # [B, n_kv, S, hd] (head-major cache)
+    v: jnp.ndarray,
+    pos: jnp.ndarray,  # [B] — index of the newest valid cache entry
+) -> jnp.ndarray:
+    """Reference implementation. Returns [B, H*hd] in q.dtype."""
+    B, H, hd = q.shape
+    n_kv, S = k.shape[1], k.shape[2]
+    group = H // n_kv
+    qg = q.reshape(B, n_kv, group, hd)
+    logits = jnp.einsum(
+        "bhgd,bhkd->bhgk", qg, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    valid = jnp.arange(S)[None, :] <= pos[:, None]
+    logits = jnp.where(valid[:, None, None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgk,bhkd->bhgd", probs, v)
+    return out.reshape(B, H * hd).astype(q.dtype)
+
+
+def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, group: int, s_total: int):
+    """One (batch, kv-head) block: q [group, hd], k/v [S, hd]."""
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)  # [group, hd]
+    k = k_ref[0, 0].astype(jnp.float32)  # [S, hd]
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    hd = q.shape[-1]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (hd**-0.5)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (group, s_total), 1)
+    valid = s_idx <= pos_ref[b]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / denom
+    o_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def decode_attention_pallas(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """q [B, H, hd]; k/v [B, n_kv, S, hd] head-major."""
+    B, H, hd = q.shape
+    n_kv, S = k.shape[1], k.shape[2]
+    group = H // n_kv
+    qg = q.reshape(B, n_kv, group, hd)
+
+    kernel = functools.partial(_decode_attn_kernel, group=group, s_total=S)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_kv),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, group, hd), lambda b, h, pos: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, S, hd), lambda b, h, pos: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, S, hd), lambda b, h, pos: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, group, hd), lambda b, h, pos: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_kv, group, hd), q.dtype),
+    )(pos.astype(jnp.int32), qg, k, v)
+    return out.reshape(B, H * hd)
+
+
+def decode_attention(q, k, v, pos, use_pallas: bool | None = None) -> jnp.ndarray:
+    from smoltts_tpu.ops import pallas_enabled
+
+    if use_pallas is None:
+        # Tiny caches (the 8-step fast micro-loop) don't pay for a kernel.
+        use_pallas = pallas_enabled() and k.shape[1] >= 64
+    if use_pallas:
+        return decode_attention_pallas(q, k, v, pos)
+    return decode_attention_xla(q, k, v, pos)

@@ -73,18 +73,18 @@ def test_fused_equals_unfused():
     stream_step = make_stream_step(cfg, token_cfg, settings, mimi_cfg)
     state = init_decode_state(cfg, 1, 64, dtype=jnp.float32)
     mstate = decode_stream_init(mimi_cfg, 1)
-    state, mstate, o = prefill_step(params, mimi_params, state, mstate, prompt, lens, jax.random.PRNGKey(1))
+    state, mstate, _, o = prefill_step(params, mimi_params, state, mstate, prompt, lens, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(o.pcm), ref_pcm[0], rtol=1e-5, atol=1e-6)
     for i in range(3):
-        state, mstate, o = stream_step(params, mimi_params, state, mstate, jax.random.PRNGKey(2 + i))
+        state, mstate, _, o = stream_step(params, mimi_params, state, mstate, jax.random.PRNGKey(2 + i))
         np.testing.assert_allclose(np.asarray(o.pcm), ref_pcm[1 + i], rtol=1e-5, atol=1e-6)
 
     # Chunked path: 3 frames in one dispatch after the same prefill.
     chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, frames_per_chunk=3)
     state = init_decode_state(cfg, 1, 64, dtype=jnp.float32)
     mstate = decode_stream_init(mimi_cfg, 1)
-    state, mstate, o = prefill_step(params, mimi_params, state, mstate, prompt, lens, jax.random.PRNGKey(1))
-    state, mstate, chunk = chunk_step(params, mimi_params, state, mstate, jax.random.PRNGKey(9))
+    state, mstate, _, o = prefill_step(params, mimi_params, state, mstate, prompt, lens, jax.random.PRNGKey(1))
+    state, mstate, _, chunk = chunk_step(params, mimi_params, state, mstate, jax.random.PRNGKey(9))
     got = np.asarray(chunk.pcm).reshape(1, 3, -1, 1)
     # Greedy: rng differences don't matter; frames must match the unfused ones.
     for i in range(3):
