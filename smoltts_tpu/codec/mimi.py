@@ -344,6 +344,43 @@ def decode_stream_init(
     )
 
 
+def reset_stream_slots(state: MimiStreamState, slots: jnp.ndarray) -> MimiStreamState:
+    """Zero the streaming state of the given batch slots (new stream admitted
+    into a reused decode slot). Slot axis is 0 for conv buffers and ring
+    bookkeeping, 1 for the ring KV cache."""
+
+    dec = jax.tree.map(lambda a: a.at[slots].set(0), state.decoder)
+    t = state.transformer
+    return MimiStreamState(
+        upsample_tail=state.upsample_tail.at[slots].set(0),
+        transformer=t._replace(
+            k=t.k.at[:, slots].set(0),
+            v=t.v.at[:, slots].set(0),
+            slot_pos=t.slot_pos.at[slots].set(-1),
+            pos=t.pos.at[slots].set(0),
+        ),
+        decoder=dec,
+    )
+
+
+def scatter_stream_state(
+    big: MimiStreamState, small: MimiStreamState, slots: jnp.ndarray
+) -> MimiStreamState:
+    """Write an n-slot streaming state into the given slots of a B-slot state."""
+    dec = jax.tree.map(lambda b, s: b.at[slots].set(s), big.decoder, small.decoder)
+    bt, st = big.transformer, small.transformer
+    return MimiStreamState(
+        upsample_tail=big.upsample_tail.at[slots].set(small.upsample_tail),
+        transformer=bt._replace(
+            k=bt.k.at[:, slots].set(st.k),
+            v=bt.v.at[:, slots].set(st.v),
+            slot_pos=bt.slot_pos.at[slots].set(st.slot_pos),
+            pos=bt.pos.at[slots].set(st.pos),
+        ),
+        decoder=dec,
+    )
+
+
 def mimi_decode_step(
     params: MimiParams,
     cfg: MimiConfig,

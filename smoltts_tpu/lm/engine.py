@@ -62,6 +62,8 @@ class DecodeEngine:
         kv_dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
         prompt_bucket: int = 64,
+        mimi_params=None,
+        mimi_cfg=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -85,11 +87,35 @@ class DecodeEngine:
 
         from smoltts_tpu.lm.pipeline import _donate_names
 
+        # Optional slot-batched vocoder: Mimi streaming state lives on the
+        # same slots; frames are vocoded inside the decode dispatch.
+        self.mimi_params = mimi_params
+        self.mimi_cfg = mimi_cfg
+        self.mimi_state = None
+        if mimi_params is not None:
+            from smoltts_tpu.codec.mimi import decode_stream_init
+
+            self.mimi_state = decode_stream_init(mimi_cfg, num_slots, dtype=kv_dtype)
+
+            def decode_vocode(params, mimi_params, state, mstate, rng):
+                from smoltts_tpu.codec.mimi import mimi_decode_step
+
+                state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
+                mstate, pcm = mimi_decode_step(
+                    mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
+                )
+                return state, mstate, out, pcm
+
+            self._decode_vocode = jax.jit(
+                decode_vocode, donate_argnames=_donate_names("state", "mstate")
+            )
+
         self._decode = jax.jit(
             partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
             donate_argnames=_donate_names("state"),
         )
         self._admit_cache: Dict[Tuple[int, int], callable] = {}
+        self._admit_vocode_cache: Dict[int, callable] = {}
 
     # ------------------------------------------------------------------
 
@@ -138,6 +164,27 @@ class DecodeEngine:
             self._admit_cache[key] = jax.jit(admit, donate_argnames=_donate_names("state"))
         return self._admit_cache[key]
 
+    def _admit_vocode_fn(self, n_new: int):
+        """Vocode the admission (first) frames of n_new fresh slots: step a
+        zero streaming state for those frames, scatter it into the slot-
+        batched vocoder state."""
+        if n_new not in self._admit_vocode_cache:
+            from smoltts_tpu.codec.mimi import (
+                decode_stream_init,
+                mimi_decode_step,
+                scatter_stream_state,
+            )
+
+            def fn(mimi_params, mstate, slots, codes):
+                sub = decode_stream_init(self.mimi_cfg, n_new, dtype=mstate.upsample_tail.dtype)
+                sub, pcm = mimi_decode_step(
+                    mimi_params, self.mimi_cfg, sub, codes[:, :, None]
+                )
+                return scatter_stream_state(mstate, sub, slots), pcm
+
+            self._admit_vocode_cache[n_new] = jax.jit(fn)
+        return self._admit_vocode_cache[n_new]
+
     def _admit_pending(self) -> List[Tuple[int, dict]]:
         """Prefill queued prompts into free slots; returns their first frames."""
         emitted = []
@@ -152,6 +199,12 @@ class DecodeEngine:
             prompt, lens = pad_prompts(
                 [p for _, p in batch], pad_to_multiple=self.prompt_bucket
             )
+            if self.mimi_state is not None:
+                from smoltts_tpu.codec.mimi import reset_stream_slots
+
+                self.mimi_state = reset_stream_slots(
+                    self.mimi_state, jnp.asarray(slots, jnp.int32)
+                )
             self.rng, sub = jax.random.split(self.rng)
             admit = self._admit_fn(n, prompt.shape[-1])
             self.state, out = admit(
@@ -162,22 +215,30 @@ class DecodeEngine:
                 jnp.asarray(lens),
                 sub,
             )
+            pcm0 = None
+            if self.mimi_state is not None:
+                vocode = self._admit_vocode_fn(n)
+                self.mimi_state, pcm0 = vocode(
+                    self.mimi_params,
+                    self.mimi_state,
+                    jnp.asarray(slots, jnp.int32),
+                    out.audio_codes,
+                )
+                pcm0 = np.asarray(pcm0)
             out_np = {
                 "audio_codes": np.asarray(out.audio_codes),
                 "is_audio": np.asarray(out.is_audio),
                 "finished": np.asarray(out.finished),
             }
             for i, (sid, _) in enumerate(batch):
-                emitted.append(
-                    (
-                        sid,
-                        {
-                            "audio_codes": out_np["audio_codes"][i],
-                            "is_audio": bool(out_np["is_audio"][i]),
-                            "finished": bool(out_np["finished"][i]),
-                        },
-                    )
-                )
+                frame = {
+                    "audio_codes": out_np["audio_codes"][i],
+                    "is_audio": bool(out_np["is_audio"][i]),
+                    "finished": bool(out_np["finished"][i]),
+                }
+                if pcm0 is not None:
+                    frame["pcm"] = pcm0[i, :, 0]
+                emitted.append((sid, frame))
         return emitted
 
     def _bookkeep(self, sid: int, frame: dict) -> dict:
@@ -210,7 +271,14 @@ class DecodeEngine:
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
             self.rng, sub = jax.random.split(self.rng)
-            self.state, out = self._decode(self.params, state=self.state, rng=sub)
+            pcm = None
+            if self.mimi_state is not None:
+                self.state, self.mimi_state, out, pcm = self._decode_vocode(
+                    self.params, self.mimi_params, self.state, self.mimi_state, sub
+                )
+                pcm = np.asarray(pcm)
+            else:
+                self.state, out = self._decode(self.params, state=self.state, rng=sub)
             codes = np.asarray(out.audio_codes)
             is_audio = np.asarray(out.is_audio)
             fin = np.asarray(out.finished)
@@ -220,6 +288,8 @@ class DecodeEngine:
                     "is_audio": bool(is_audio[slot]),
                     "finished": bool(fin[slot]),
                 }
+                if pcm is not None:
+                    frame["pcm"] = pcm[slot, :, 0]
                 emitted.append((sid, self._bookkeep(sid, frame)))
         return emitted
 

@@ -22,7 +22,16 @@ from smoltts_tpu.server.static_player import INDEX_HTML
 from smoltts_tpu.server.tts_core import TTSCore
 
 
-def build_app(core: TTSCore) -> HttpServer:
+def build_app(core: TTSCore, engine_loop=None, metrics=None) -> HttpServer:
+    """`engine_loop` (smoltts_tpu.lm.engine.EngineLoop with a vocoder)
+    enables continuous-batched streaming: concurrent /stream requests share
+    the device through decode slots instead of serializing."""
+    import time as _time
+
+    from smoltts_tpu.io.wav import pcm_to_int16
+    from smoltts_tpu.utils.profiling import ServingMetrics
+
+    metrics = metrics or ServingMetrics()
     app = HttpServer()
 
     @app.get("/")
@@ -32,6 +41,10 @@ def build_app(core: TTSCore) -> HttpServer:
     @app.get("/health")
     async def health(req: Request):
         return Response.json({"status": "ok", "sampling_rate": core.model.sampling_rate})
+
+    @app.get("/metrics")
+    async def metrics_route(req: Request):
+        return Response.json(metrics.snapshot())
 
     @app.post("/v1/audio/speech")
     async def openai_speech(req: Request):
@@ -80,15 +93,42 @@ def build_app(core: TTSCore) -> HttpServer:
         if "text" not in item:
             return Response.error(422, "missing required field: text")
         voice = req.path_params["voice_id"]
+        metrics.record_request()
+        t_submit = _time.monotonic()
 
-        async def chunks():
-            loop = asyncio.get_running_loop()
-            gen = core.stream_audio(item["text"], voice)
-            while True:
-                chunk = await loop.run_in_executor(None, next, gen, None)
-                if chunk is None:
-                    break
-                yield chunk
+        if engine_loop is not None:
+            prompt = core.model._get_prompt(item["text"], voice)
+            q = engine_loop.submit(prompt)
+
+            async def chunks():
+                loop = asyncio.get_running_loop()
+                first = True
+                while True:
+                    frame = await loop.run_in_executor(None, q.get)
+                    if frame is None:
+                        break
+                    if first:
+                        metrics.record_first_audio(_time.monotonic() - t_submit)
+                        first = False
+                    metrics.record_frames(1)
+                    if "pcm" in frame:
+                        yield pcm_to_int16(frame["pcm"]).tobytes()
+
+        else:
+
+            async def chunks():
+                loop = asyncio.get_running_loop()
+                gen = core.stream_audio(item["text"], voice)
+                first = True
+                while True:
+                    chunk = await loop.run_in_executor(None, next, gen, None)
+                    if chunk is None:
+                        break
+                    if first:
+                        metrics.record_first_audio(_time.monotonic() - t_submit)
+                        first = False
+                    metrics.record_frames(1)
+                    yield chunk
 
         return StreamingResponse(
             chunks(),
@@ -117,16 +157,42 @@ def load_core(settings: ServerSettings) -> TTSCore:
     return TTSCore(model, settings)
 
 
+def build_engine_loop(core: TTSCore, num_slots: int = 32):
+    """Continuous-batched decode engine + vocoder over the loaded model."""
+    from smoltts_tpu.lm.engine import DecodeEngine, EngineLoop
+
+    m = core.model
+    engine = DecodeEngine(
+        m.params,
+        m.config,
+        m.token_config,
+        m.generation_settings,
+        num_slots=num_slots,
+        mimi_params=m.codec_params,
+        mimi_cfg=m.codec_config,
+    )
+    return EngineLoop(engine)
+
+
 def main(argv: Optional[list] = None):
     parser = argparse.ArgumentParser(description="smoltts TPU TTS server")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument(
+        "--engine-slots",
+        type=int,
+        default=0,
+        help="enable continuous batching with N decode slots (0 = per-request)",
+    )
     args = parser.parse_args(argv)
 
     settings = ServerSettings.get_settings(args.config)
     core = load_core(settings)
-    app = build_app(core)
+    engine_loop = (
+        build_engine_loop(core, args.engine_slots) if args.engine_slots > 0 else None
+    )
+    app = build_app(core, engine_loop=engine_loop)
     print(f"Serving on http://{args.host}:{args.port}")
     app.run(args.host, args.port)
 
