@@ -9,7 +9,11 @@ This must run before `import jax` anywhere in the test process.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU platform
+# SMOLTTS_TEST_TPU=1 runs the suite on the real accelerator (for the few
+# TPU-only tests, e.g. Pallas PRNG statistics); default is the virtual CPU mesh.
+_USE_TPU = os.environ.get("SMOLTTS_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may pin a TPU platform
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,7 +25,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 # environment; override through the config API as well.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
