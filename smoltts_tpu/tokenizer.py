@@ -111,36 +111,37 @@ class ByteTokenizer:
             return chr(idx)
         return self._id_to_special.get(idx)
 
+    def _encode_chars(self, chunk: str, ids: List[int]) -> None:
+        # HF byte-level semantics: each CHARACTER with codepoint < 256 maps to
+        # its codepoint id (the BPE vocab is latin-1 characters); characters
+        # outside latin-1 have no vocab entry and are silently dropped. The
+        # data pipeline recodes UTF-8 bytes to latin-1 chars for the "bpe"
+        # strategy (chatml_tokenize_dataset.py:113).
+        ids.extend(ord(c) for c in chunk if ord(c) < 256)
+
     def encode(self, text: str) -> List[int]:
-        """Encode text: special tokens match greedily, the rest as UTF-8 bytes."""
+        """Encode text: special tokens match greedily, the rest per-char."""
         ids: List[int] = []
         pos = 0
         for m in self._SPECIAL_RE.finditer(text):
-            chunk = text[pos : m.start()]
-            ids.extend(b for b in chunk.encode("utf-8"))
+            self._encode_chars(text[pos : m.start()], ids)
             tok = m.group(0)
             tid = self._special_to_id.get(tok)
             if tid is not None:
                 ids.append(tid)
-            else:  # not a known special: fall back to bytes
-                ids.extend(b for b in tok.encode("utf-8"))
+            else:  # not a known special: fall back to chars
+                self._encode_chars(tok, ids)
             pos = m.end()
-        ids.extend(b for b in text[pos:].encode("utf-8"))
+        self._encode_chars(text[pos:], ids)
         return ids
 
     def decode(self, ids: List[int]) -> str:
         out: List[str] = []
-        byte_buf = bytearray()
         for i in ids:
             if 0 <= i < 256:
-                byte_buf.append(i)
+                out.append(chr(i))
             else:
-                if byte_buf:
-                    out.append(bytes(byte_buf).decode("utf-8", errors="replace"))
-                    byte_buf = bytearray()
                 out.append(self._id_to_special.get(i, ""))
-        if byte_buf:
-            out.append(bytes(byte_buf).decode("utf-8", errors="replace"))
         return "".join(out)
 
 
@@ -192,10 +193,21 @@ class TokenConfig(BaseModel):
 
 def load_tokenizer(checkpoint_dir: Union[str, Path]):
     """Load tokenizer.json from a checkpoint dir via HF `tokenizers`;
-    falls back to the built-in ByteTokenizer when absent."""
+    falls back to the native C byte-level tokenizer (vocab-identical), then
+    the pure-Python one."""
     p = Path(checkpoint_dir) / "tokenizer.json"
     if p.exists():
-        from tokenizers import Tokenizer
+        try:
+            from tokenizers import Tokenizer
 
-        return Tokenizer.from_file(str(p))
+            return Tokenizer.from_file(str(p))
+        except ImportError:
+            pass
+    try:
+        from smoltts_tpu.native import NativeByteTokenizer, native_available
+
+        if native_available():
+            return NativeByteTokenizer()
+    except Exception:
+        pass
     return ByteTokenizer()
