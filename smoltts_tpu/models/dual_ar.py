@@ -286,12 +286,17 @@ def forward_train(
     embed_mask_mode: str = "row1_zero",
     semantic_start_id: int = 0,
     semantic_end_id: int = 0,
+    activation_sharding=None,
 ) -> TrainForwardResult:
     """Full training forward: slow trunk + dense fast trunk.
 
     tokens: int32 [B, num_rows, T], already causally shifted (input side).
     Matches RQTransformer.forward (rq_transformer.py:223-260, 401-479) with
     the fast trunk computed dense over every frame (see module docstring).
+
+    activation_sharding: optional NamedSharding for [B, T, dim] activations —
+    sequence-parallel sharding of the packed batch (e.g. P('data', 'seq'));
+    GSPMD inserts the attention all-gathers (SURVEY.md §5 long-context).
     """
     B, R, T = tokens.shape
     assert R == cfg.num_rows, f"expected {cfg.num_rows} rows, got {R}"
@@ -312,6 +317,8 @@ def forward_train(
         semantic_start_id=semantic_start_id,
         semantic_end_id=semantic_end_id,
     )
+    if activation_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, activation_sharding)
     positions = jnp.arange(T)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
     x = run_trunk(
@@ -326,6 +333,8 @@ def forward_train(
         norm_eps=cfg.norm_eps,
         remat=cfg.use_gradient_checkpointing and train,
     )
+    if activation_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, activation_sharding)
     token_logits = token_head(params, cfg, x)
 
     # ---- fast trunk (dense) ----

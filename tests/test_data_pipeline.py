@@ -208,3 +208,31 @@ def test_convert_lm_init():
     mean = hf["model.embed_tokens.weight"].mean(axis=0)
     np.testing.assert_allclose(out["embeddings.weight"][V0], mean)
     assert out["layers.0.attention.wqkv.weight"].shape == (2 * D, D)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """Orbax train-state -> release safetensors via the convert CLI."""
+    from smoltts_tpu.io.checkpoint_interop import load_params
+    from smoltts_tpu.io.convert import main as convert_main
+
+    cfg = tiny_debug_config(codebook_size=16, vocab_size=336, n_layer=1, n_fast_layer=1)
+    params = init_params(cfg, jax.random.PRNGKey(5))
+    tc = TrainingConfig()
+    state, _ = init_train_state(params, tc)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), run_name="r", config=tc)
+    mgr.save(state, 3)
+    cfg.save(tmp_path / "config.json")
+
+    out = tmp_path / "release"
+    convert_main([
+        "--src", str(mgr.run_dir / "step_000003"),
+        "--config", str(tmp_path / "config.json"),
+        "-o", str(out),
+    ])
+    reloaded = load_params(out, cfg)
+    np.testing.assert_allclose(
+        np.asarray(reloaded["layers"]["wqkv"]), np.asarray(params["layers"]["wqkv"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(reloaded["fast_output"]), np.asarray(params["fast_output"]), rtol=1e-6
+    )

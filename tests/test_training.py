@@ -173,3 +173,32 @@ def test_sharded_train_step():
     # Params stay TP-sharded after the update.
     wqkv_sh = state.params["layers"]["wqkv"].sharding
     assert "model" in str(wqkv_sh.spec)
+
+
+def test_sequence_parallel_forward():
+    """Sequence-axis activation sharding produces identical outputs (GSPMD
+    inserts the attention collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smoltts_tpu.parallel.mesh import make_mesh
+
+    cfg = make_cfg(dropout=0.0)
+    token_cfg = TokenConfig.smoltts_v0(cfg.codebook_size)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ds = synthetic_dataset(2, cfg, token_cfg, seq_len=32, seed=4)
+    batch = collate([r["ground_truth"] for r in ds], token_cfg.pad_id, max_len=32)
+    tokens = jnp.asarray(batch["tokens"])
+
+    ref = forward_train(params, cfg, tokens)
+
+    mesh = make_mesh(2, 4)  # axes ('data', 'model'); use 'model' as seq axis
+    seq_sh = NamedSharding(mesh, P("data", "model", None))
+    sharded = jax.jit(
+        lambda p, t: forward_train(p, cfg, t, activation_sharding=seq_sh)
+    )(params, jax.device_put(tokens, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(
+        np.asarray(sharded.token_logits), np.asarray(ref.token_logits), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.codebook_logits), np.asarray(ref.codebook_logits), rtol=2e-5, atol=2e-5
+    )
