@@ -254,6 +254,7 @@ class TrainingConfig(BaseModel):
     mesh_model_axis: int = 1
     seed: int = 0
     log_every_n_steps: int = 10
+    remat_policy: str = "none"  # "none" | "dots" (see models/dual_ar.run_trunk)
 
 
 def load_training_config(path: Union[str, Path]) -> TrainingConfig:

@@ -139,9 +139,18 @@ def _decode_trunk(
         kc = _write_kv(kc, k, pos)
         vc = _write_kv(vc, v, pos)
         if causal_within and T > 1:
-            # [B, Tq, S]: query t attends cache indices <= pos + t
-            valid = k_idx[None, None, :] <= (pos[:, None] + jnp.arange(T)[None, :])[..., None]
-            att = _cached_sdpa_multi(q, kc, vc, valid)
+            # Prefill runs on FRESH slots (pos == 0): the only attendable
+            # history is the T new tokens themselves, so attend over them
+            # directly (T x T) instead of scanning the whole S-cache
+            # (16x less attention work at T=64, S=1024).
+            t_idx = jnp.arange(T)
+            causal = t_idx[:, None] >= t_idx[None, :]
+            att = _cached_sdpa_multi(
+                q,
+                k.transpose(0, 2, 1, 3).astype(kc.dtype),
+                v.transpose(0, 2, 1, 3).astype(vc.dtype),
+                jnp.broadcast_to(causal, (B, T, T)),
+            )
         else:
             # Fused single-query kernel on TPU (XLA reference elsewhere).
             from smoltts_tpu.ops.attention import decode_attention
@@ -357,7 +366,10 @@ def prefill(
 ) -> Tuple[DecodeState, FrameOutput]:
     """Process the prompt, fill the KV cache, and emit the FIRST frame
     (the reference folds prefill into the first iterator step,
-    lm/generate.py:59-74)."""
+    lm/generate.py:59-74).
+
+    Requires FRESH slots (state.pos == 0): prefill attention runs over the
+    prompt tokens only, not the cache (see _decode_trunk)."""
     B, R, T = prompt.shape
     x = embed_merge(
         params,

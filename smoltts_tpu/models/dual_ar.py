@@ -216,8 +216,13 @@ def run_trunk(
     dropout_rng: Optional[jax.Array] = None,
     norm_eps: float = 1e-5,
     remat: bool = False,
+    remat_policy: str = "none",
 ) -> jnp.ndarray:
-    """Run a stack of transformer blocks as lax.scan over the layer axis."""
+    """Run a stack of transformer blocks as lax.scan over the layer axis.
+
+    remat_policy: "none" saves only layer boundaries (max memory savings);
+    "dots" saves matmul outputs and recomputes elementwise ops (less
+    recompute FLOPs for a modest memory cost)."""
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if not use_dropout:
         dropout_rng = jax.random.PRNGKey(0)  # unused, keeps carry structure static
@@ -240,7 +245,12 @@ def run_trunk(
         return (h, rng), None
 
     if remat:
-        body = jax.checkpoint(body)
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat_policy == "dots"
+            else None
+        )
+        body = jax.checkpoint(body, policy=policy)
     (x, _), _ = jax.lax.scan(body, (x, dropout_rng), layer_params)
     return x
 
@@ -287,6 +297,7 @@ def forward_train(
     semantic_start_id: int = 0,
     semantic_end_id: int = 0,
     activation_sharding=None,
+    remat_policy: str = "none",
 ) -> TrainForwardResult:
     """Full training forward: slow trunk + dense fast trunk.
 
@@ -332,6 +343,7 @@ def forward_train(
         dropout_rng=rngs[0],
         norm_eps=cfg.norm_eps,
         remat=cfg.use_gradient_checkpointing and train,
+        remat_policy=remat_policy,
     )
     if activation_sharding is not None:
         x = jax.lax.with_sharding_constraint(x, activation_sharding)
@@ -365,6 +377,7 @@ def forward_train(
         dropout_rng=rngs[1],
         norm_eps=cfg.norm_eps,
         remat=cfg.use_gradient_checkpointing and train,
+        remat_policy=remat_policy,
     )
     fast_out = rms_norm(fast_x, params["fast_norm"], cfg.norm_eps)
     codebook_logits = fast_output_logits(params, cfg, fast_out)

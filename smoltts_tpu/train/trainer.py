@@ -43,9 +43,10 @@ def init_train_state(
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
 
 
-def loss_fn(params, cfg: DualARConfig, batch: Dict[str, jnp.ndarray], rng) -> tuple:
+def loss_fn(params, cfg: DualARConfig, batch: Dict[str, jnp.ndarray], rng, remat_policy: str = "none") -> tuple:
     out = forward_train(
-        params, cfg, batch["tokens"], dropout_rng=rng, train=True
+        params, cfg, batch["tokens"], dropout_rng=rng, train=True,
+        remat_policy=remat_policy,
     )
     losses = compute_losses(out.token_logits, out.codebook_logits, batch["labels"])
     return losses.total, losses
@@ -67,7 +68,7 @@ def make_train_step(
     def step_fn(state: TrainState, batch, rng):
         if accumulate_steps == 1:
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, cfg, batch, rng
+                state.params, cfg, batch, rng, config.remat_policy
             )
         else:
 
@@ -75,7 +76,7 @@ def make_train_step(
                 acc, rng = carry
                 rng, sub = jax.random.split(rng)
                 (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, cfg, mb, sub
+                    state.params, cfg, mb, sub, config.remat_policy
                 )
                 acc = jax.tree.map(jnp.add, acc, grads)
                 return (acc, rng), losses
