@@ -78,6 +78,21 @@ class SmolTTS:
         self._rng = jax.random.PRNGKey(0)
         self._jnp = jnp
 
+        # Voice registry: the reference hardcodes 11 Kokoro voices and leaves
+        # speaker caching as a TODO (__init__.py:60-62, tts_core.py:20). Here
+        # both are loadable from the checkpoint dir: voices.json maps names
+        # to speaker ids; speakers/<name>.npy holds saved conditioning
+        # prompts (see save_speaker / create_speaker).
+        self.voices = list(VOICES)
+        self._speaker_dir = checkpoint_dir / "speakers"
+        self._speaker_cache: dict = {}
+        voices_path = checkpoint_dir / "voices.json"
+        if voices_path.exists():
+            import json
+
+            with open(voices_path) as f:
+                self.voices = json.load(f)
+
     # ------------------------------------------------------------------
 
     def _next_rng(self):
@@ -86,11 +101,30 @@ class SmolTTS:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def get_speaker(self, name: str) -> Optional[np.ndarray]:
+        """Saved conditioning prompt for a cloned voice, if any."""
+        if name in self._speaker_cache:
+            return self._speaker_cache[name]
+        path = self._speaker_dir / f"{name}.npy"
+        if path.exists():
+            prompt = np.load(path)
+            self._speaker_cache[name] = prompt
+            return prompt
+        return None
+
+    def save_speaker(self, name: str, prompt: np.ndarray) -> None:
+        """Persist a create_speaker() conditioning prompt under the checkpoint."""
+        self._speaker_dir.mkdir(parents=True, exist_ok=True)
+        np.save(self._speaker_dir / f"{name}.npy", np.asarray(prompt, np.int32))
+        self._speaker_cache[name] = np.asarray(prompt, np.int32)
+
     def _get_prompt(
         self, text: str, voice: str, sysprompt: Optional[np.ndarray] = None
     ) -> np.ndarray:
-        voice_id = VOICES.index(voice) if voice in VOICES else 0
         if sysprompt is None:
+            sysprompt = self.get_speaker(voice)
+        if sysprompt is None:
+            voice_id = self.voices.index(voice) if voice in self.voices else 0
             sysprompt = self.prompt_encoder.encode_text_turn(
                 "system", f"<|speaker:{voice_id}|>"
             )

@@ -40,9 +40,10 @@ def _sample_kernel(seed_ref, logits_ref, out_ref, *, temperature: float, min_p: 
     if min_p is not None:
         top = jnp.max(l, axis=-1, keepdims=True)
         l = jnp.where(l >= top + math.log(min_p), l, -jnp.inf)
-    bits = pltpu.prng_random_bits((_ROWS, vocab))
-    # uint32 -> uniform in (0, 1): 24 mantissa-ish bits, offset off zero.
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    # Raw bits surface as int32 on hardware (and Mosaic can't cast uint32 ->
+    # float32): mask to the low 23 bits — non-negative int32 — then cast.
+    bits = pltpu.prng_random_bits((_ROWS, vocab)).astype(jnp.int32)
+    u = (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23)) + (1.0 / (1 << 24))
     gumbel = -jnp.log(-jnp.log(u))
     idx = jnp.argmax(l + gumbel, axis=-1).astype(jnp.int32)  # [ROWS]
     out_ref[...] = jnp.broadcast_to(idx[:, None], (_ROWS, 128))
