@@ -149,9 +149,7 @@ def load_params(
     d = Path(checkpoint_dir)
     st_path = d / "model.safetensors"
     if st_path.exists():
-        from safetensors.numpy import load_file
-
-        state = load_file(str(st_path))
+        state = load_safetensors(st_path)
     else:
         import torch
 
@@ -171,10 +169,34 @@ def save_params(
     params: dict, cfg: DualARConfig, checkpoint_dir: Union[str, Path]
 ) -> None:
     """Write `model.safetensors` + `config.json` in the reference schema."""
-    from safetensors.numpy import save_file
-
     d = Path(checkpoint_dir)
     d.mkdir(parents=True, exist_ok=True)
     state = state_dict_from_params(params, cfg)
-    save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, str(d / "model.safetensors"))
+    save_safetensors(
+        {k: np.ascontiguousarray(v) for k, v in state.items()}, d / "model.safetensors"
+    )
     cfg.save(d / "config.json")
+
+
+def load_safetensors(path: Union[str, Path]) -> Dict[str, np.ndarray]:
+    """Read a .safetensors file — native C reader (zero-copy mmap, BF16-capable)
+    when a toolchain is present, else the `safetensors` package."""
+    from smoltts_tpu.native.safetensors_io import load_file, native_st_available
+
+    if native_st_available():
+        return load_file(path)
+    from safetensors.numpy import load_file as st_load_file
+
+    return st_load_file(str(path))
+
+
+def save_safetensors(tensors: Dict[str, np.ndarray], path: Union[str, Path]) -> None:
+    """Write a .safetensors file — native C writer when available."""
+    from smoltts_tpu.native.safetensors_io import native_st_available, save_file
+
+    if native_st_available():
+        save_file(tensors, path)
+        return
+    from safetensors.numpy import save_file as st_save_file
+
+    st_save_file(tensors, str(path))

@@ -11,6 +11,13 @@ import numpy as np
 
 
 def pcm_to_int16(pcm: np.ndarray) -> np.ndarray:
+    try:
+        from smoltts_tpu.native.audio_io import f32_to_i16, native_audio_available
+
+        if native_audio_available():
+            return f32_to_i16(np.asarray(pcm)).reshape(np.asarray(pcm).shape)
+    except Exception:
+        pass
     x = np.clip(np.asarray(pcm, dtype=np.float32), -1.0, 1.0)
     return (x * 32767.0).astype(np.int16)
 

@@ -22,6 +22,34 @@ _SRC = Path(__file__).parent / "tokenizer.c"
 _LIB_CACHE: Optional[ctypes.CDLL] = None
 _BUILD_FAILED = False
 
+# Generic on-demand builder, shared by all native components in this package.
+_GENERIC_CACHE: dict = {}
+
+
+def build_native_lib(src: Path, name: str, extra_flags=()) -> Optional[ctypes.CDLL]:
+    """Compile `src` into a cached shared object and dlopen it.
+
+    Returns None (and caches the failure) when no C toolchain is present, so
+    callers can fall back to pure-Python implementations.
+    """
+    key = (str(src), name)
+    if key in _GENERIC_CACHE:
+        return _GENERIC_CACHE[key]
+    so_path = Path(tempfile.gettempdir()) / f"smoltts_native_{name}.so"
+    try:
+        if not so_path.exists() or so_path.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", *extra_flags, str(src), "-o", str(so_path)],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so_path))
+    except Exception:
+        _GENERIC_CACHE[key] = None
+        return None
+    _GENERIC_CACHE[key] = lib
+    return lib
+
 
 def _build_lib() -> Optional[ctypes.CDLL]:
     global _LIB_CACHE, _BUILD_FAILED

@@ -17,6 +17,21 @@ import numpy as np
 from smoltts_tpu.io.wav import pcm_to_int16, pcm_to_wav_bytes
 
 
+def _resample(pcm: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
+    """Native windowed-sinc resampler; scipy FFT resample as fallback
+    (the reference's path, tts_core.py:56-58)."""
+    try:
+        from smoltts_tpu.native.audio_io import native_audio_available, resample
+
+        if native_audio_available():
+            return resample(pcm, in_rate, out_rate)
+    except Exception:
+        pass
+    from scipy import signal
+
+    return signal.resample(pcm, int(len(pcm) * out_rate / in_rate))
+
+
 class TTSCore:
     def __init__(self, model, settings=None):
         self.model = model
@@ -50,10 +65,7 @@ class TTSCore:
         pcm_data = np.asarray(pcm_data, np.float32).flatten()
 
         if sample_rate != 24_000 and pcm_data.size:
-            from scipy import signal
-
-            num = int(len(pcm_data) * sample_rate / 24_000)
-            pcm_data = signal.resample(pcm_data, num)
+            pcm_data = _resample(pcm_data, 24_000, sample_rate)
 
         if output_format.startswith("pcm_"):
             return pcm_to_int16(pcm_data).tobytes(), "audio/x-pcm"
