@@ -31,10 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 
 FRAME_RATE = 12.5
-N_STREAMS = int(os.environ.get("BENCH_STREAMS", "32"))
+N_STREAMS = int(os.environ.get("BENCH_STREAMS", "64"))
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
 PROMPT_LEN = 64
+# Length bucketing: attention reads are bounded to the smallest bucket that
+# covers every live position (the engine's scheme); the KV state itself
+# stays allocated at S so bucket switches reuse the same buffers.
+BUCKET = int(os.environ.get("BENCH_BUCKET", "256"))
+assert BUCKET >= PROMPT_LEN + N_FRAMES + 1, "bucket must cover the whole run"
 
 
 def main():
@@ -70,8 +75,8 @@ def main():
     S = 1024
 
     prefill_step = make_prefill_step(cfg, token_cfg, settings, mimi_cfg)
-    stream_step = make_stream_step(cfg, token_cfg, settings, mimi_cfg)
-    chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, CHUNK)
+    stream_step = make_stream_step(cfg, token_cfg, settings, mimi_cfg, attend_limit=BUCKET)
+    chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, CHUNK, attend_limit=BUCKET)
 
     def fresh_state():
         return (
@@ -128,6 +133,7 @@ def main():
             "first_audio_ms_p50": round(first_audio_ms, 1),
             "chunked_audio_s_per_s": round(chunk_tp, 3),
             "chunk_frames": CHUNK,
+            "attend_bucket": BUCKET,
             "streams": B,
             "frames": N_FRAMES,
             "platform": jax.devices()[0].platform,

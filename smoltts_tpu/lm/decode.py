@@ -50,13 +50,36 @@ from smoltts_tpu.tokenizer import TokenConfig
 
 
 class DecodeState(NamedTuple):
-    """Per-slot decoding state for B concurrent streams."""
+    """Per-slot decoding state for B concurrent streams.
 
-    k: jnp.ndarray  # [n_layer, B, n_kv_head, S, head_dim] (head-major)
+    The KV cache is split into a big frozen HISTORY (`k`/`v`) and a small
+    ring TAIL (`k_tail`/`v_tail`). The per-frame step writes only the tail —
+    at a single global ring column (`phase`), a dynamic_update_slice — so the
+    history is a pure input of the step program and is never copied at the
+    jit boundary (without donation XLA must otherwise materialize a fresh
+    ~0.7 GB cache copy every 80 ms frame; donation itself is pathological
+    through tunneled runtimes). `flush_kv` consolidates the tail into the
+    history at most every `W` frames; callers must flush before the ring
+    wraps (FrameGenerator / DecodeEngine / the chunked pipeline do).
+
+    `tail_pos[b, c]` is the cache position held by tail column c for slot b
+    (-1 = empty); `flushed[b]` is the history's valid length.
+    """
+
+    k: jnp.ndarray  # [n_layer, B, n_kv_head, S, head_dim] (head-major) history
     v: jnp.ndarray  # [n_layer, B, n_kv_head, S, head_dim]
+    k_tail: jnp.ndarray  # [n_layer, B, n_kv_head, W, head_dim] ring tail
+    v_tail: jnp.ndarray  # [n_layer, B, n_kv_head, W, head_dim]
+    tail_pos: jnp.ndarray  # [B, W] int32 — cache position per tail column (-1 empty)
+    flushed: jnp.ndarray  # [B] int32 — history valid length
+    phase: jnp.ndarray  # [] int32 — next tail write column (global, wraps mod W)
     pos: jnp.ndarray  # [B] int32 — number of cached tokens == next write slot
     prev_tokens: jnp.ndarray  # [B, num_rows] int32 — frame fed to next step
     finished: jnp.ndarray  # [B] bool
+
+    @property
+    def tail_len(self) -> int:
+        return self.k_tail.shape[3]
 
 
 class FrameOutput(NamedTuple):
@@ -68,16 +91,58 @@ class FrameOutput(NamedTuple):
 
 
 def init_decode_state(
-    cfg: DualARConfig, batch_size: int, max_seq_len: Optional[int] = None, dtype=jnp.bfloat16
+    cfg: DualARConfig,
+    batch_size: int,
+    max_seq_len: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    tail_len: int = 128,
 ) -> DecodeState:
     S = max_seq_len or cfg.max_seq_len
     kv_shape = (cfg.n_layer, batch_size, cfg.n_local_heads, S, cfg.head_dim)
+    tail_shape = (cfg.n_layer, batch_size, cfg.n_local_heads, tail_len, cfg.head_dim)
     return DecodeState(
         k=jnp.zeros(kv_shape, dtype),
         v=jnp.zeros(kv_shape, dtype),
+        k_tail=jnp.zeros(tail_shape, dtype),
+        v_tail=jnp.zeros(tail_shape, dtype),
+        tail_pos=jnp.full((batch_size, tail_len), -1, jnp.int32),
+        flushed=jnp.zeros((batch_size,), jnp.int32),
+        phase=jnp.zeros((), jnp.int32),
         pos=jnp.zeros((batch_size,), jnp.int32),
         prev_tokens=jnp.zeros((batch_size, cfg.num_rows), jnp.int32),
         finished=jnp.zeros((batch_size,), bool),
+    )
+
+
+def flush_kv(state: DecodeState) -> DecodeState:
+    """Consolidate the ring tail into the history cache.
+
+    Scatters every valid tail entry to its cache position and resets the
+    ring. This program DOES copy the history at the jit boundary (~ the cost
+    of one pre-split frame step), so callers amortize it: at most once per
+    `tail_len` frames. Decode results are bit-identical with or without
+    intermediate flushes (tests/test_decode.py::test_flush_equivalence).
+    """
+    S = state.k.shape[3]
+    valid = (
+        (state.tail_pos >= 0)
+        & (state.tail_pos >= state.flushed[:, None])
+        & (state.tail_pos < state.pos[:, None])
+    )  # [B, W]
+    idx = jnp.where(valid, state.tail_pos, S)  # OOB rows are dropped
+
+    def flush_one(hist_b, tail_b, idx_w):
+        # hist_b [L, H, S, hd]; tail_b [L, H, W, hd]; idx_w [W]
+        return hist_b.at[:, :, idx_w].set(tail_b, mode="drop")
+
+    k = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.k, state.k_tail, idx)
+    v = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.v, state.v_tail, idx)
+    return state._replace(
+        k=k,
+        v=v,
+        tail_pos=jnp.full_like(state.tail_pos, -1),
+        flushed=state.pos,
+        phase=jnp.zeros_like(state.phase),
     )
 
 
@@ -116,11 +181,19 @@ def _decode_trunk(
     *,
     causal_within: bool,
     norm_eps: float,
+    attend_limit: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the cached trunk over T new tokens (T=1 decode, T=prompt prefill).
 
     Writes k/v at positions pos..pos+T-1 and attends over the whole cache with
     a per-slot validity mask (k index <= pos + query offset).
+
+    `attend_limit` (static) bounds the attention READS to cache positions
+    [0, attend_limit): length bucketing. The caller must guarantee
+    max(pos) + T <= attend_limit; writes always go to the full cache, so a
+    bucket switch is just a different compiled program over the same state.
+    At S=1024 this is the dominant decode cost (KV reads are ~950 GB/s
+    bandwidth-bound), so early-in-generation buckets run up to 4x faster.
     """
     B, T, _ = x.shape
     S = k_cache.shape[3]
@@ -152,10 +225,13 @@ def _decode_trunk(
                 jnp.broadcast_to(causal, (B, T, T)),
             )
         else:
-            # Fused single-query kernel on TPU (XLA reference elsewhere).
             from smoltts_tpu.ops.attention import decode_attention
 
-            att = decode_attention(q[:, 0], kc, vc, pos)[:, None, :]
+            kr, vr = kc, vc
+            if attend_limit is not None and attend_limit < S:
+                kr = kc[:, :, :attend_limit]
+                vr = vc[:, :, :attend_limit]
+            att = decode_attention(q[:, 0], kr, vr, pos)[:, None, :]
         h = h + att @ lp["wo"]
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
         h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
@@ -163,6 +239,67 @@ def _decode_trunk(
 
     x, (k_cache, v_cache) = jax.lax.scan(block, x, (layer_params, k_cache, v_cache))
     return x, k_cache, v_cache
+
+
+def _decode_trunk_tailed(
+    layer_params: dict,
+    x: jnp.ndarray,  # [B, 1, dim]
+    k_hist: jnp.ndarray,  # [L, B, n_kv, S, hd] — read-only
+    v_hist: jnp.ndarray,
+    k_tail: jnp.ndarray,  # [L, B, n_kv, W, hd]
+    v_tail: jnp.ndarray,
+    tail_pos: jnp.ndarray,  # [B, W] — already updated with the current column
+    flushed: jnp.ndarray,  # [B]
+    phase: jnp.ndarray,  # [] — tail column for this token
+    pos: jnp.ndarray,  # [B]
+    dims: AttnDims,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    norm_eps: float,
+    attend_limit: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-token trunk over the split (history + ring-tail) cache.
+
+    History is consumed read-only (scan xs), per-layer K/V go to the tail at
+    the shared scalar column `phase` (one dynamic_update_slice per layer).
+    Returns (h, k_tail', v_tail'); the history is untouched, so the calling
+    jit program passes it through without a boundary copy.
+    """
+    from smoltts_tpu.ops.attention import decode_attention_tailed
+
+    B = x.shape[0]
+    S = k_hist.shape[3]
+    lim = S if attend_limit is None else min(attend_limit, S)
+
+    def block(carry, lp_kv):
+        h = carry
+        lp, kh, vh, kt, vt = lp_kv
+        hn = rms_norm(h, lp["attention_norm"], norm_eps)
+        qkv = hn @ lp["wqkv"]
+        if "wqkv_bias" in lp:
+            qkv = qkv + lp["wqkv_bias"]
+        q, k, v = split_qkv(qkv, dims)  # [B, 1, H, hd]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kt = jax.lax.dynamic_update_slice(
+            kt, k.transpose(0, 2, 1, 3).astype(kt.dtype), (0, 0, phase, 0)
+        )
+        vt = jax.lax.dynamic_update_slice(
+            vt, v.transpose(0, 2, 1, 3).astype(vt.dtype), (0, 0, phase, 0)
+        )
+        att = decode_attention_tailed(
+            q[:, 0], kh[:, :, :lim], vh[:, :, :lim], kt, vt, pos, flushed, tail_pos
+        )[:, None, :]
+        h = h + att @ lp["wo"]
+        hn = rms_norm(h, lp["ffn_norm"], norm_eps)
+        h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+        return h, (kt, vt)
+
+    x, (k_tail, v_tail) = jax.lax.scan(
+        block, x, (layer_params, k_hist, v_hist, k_tail, v_tail)
+    )
+    return x, k_tail, v_tail
 
 
 def _cached_sdpa_multi(
@@ -405,9 +542,13 @@ def prefill(
     out = _frame_from_hidden(
         params, cfg, token_cfg, h_last, token_logits, state.finished, rng, settings
     )
-    new_state = DecodeState(
+    # Prompt K/V went straight to the history; the ring starts empty.
+    new_state = state._replace(
         k=k_cache,
         v=v_cache,
+        tail_pos=jnp.full_like(state.tail_pos, -1),
+        flushed=state.pos + prompt_len,
+        phase=jnp.zeros_like(state.phase),
         pos=state.pos + prompt_len,
         prev_tokens=out.tokens,
         finished=out.finished,
@@ -423,9 +564,13 @@ def decode_frame(
     settings: GenerationSettings,
     state: DecodeState,
     rng: jax.Array,
+    attend_limit: Optional[int] = None,
 ) -> Tuple[DecodeState, FrameOutput]:
     """One 80 ms frame for every live slot: slow step + fast micro-loop
-    (the reference's SingleBatchGenerator.__next__, lm/generate.py:59-171)."""
+    (the reference's SingleBatchGenerator.__next__, lm/generate.py:59-171).
+
+    `attend_limit` statically bounds attention reads (length bucketing);
+    requires max(state.pos) < attend_limit."""
     B = state.prev_tokens.shape[0]
     x = embed_merge(
         params,
@@ -436,26 +581,38 @@ def decode_frame(
         semantic_end_id=token_cfg.semantic_end_id or token_cfg.semantic_start_id,
     )  # [B, 1, dim]
     cos, sin = rope_cos_sin(state.pos[:, None], cfg.head_dim, cfg.rope_base)
-    h, k_cache, v_cache = _decode_trunk(
+    # Claim the current ring column: tail_pos[:, phase] = pos.
+    tail_pos = jax.lax.dynamic_update_slice(
+        state.tail_pos, state.pos[:, None], (0, state.phase)
+    )
+    h, k_tail, v_tail = _decode_trunk_tailed(
         params["layers"],
         x,
         state.k,
         state.v,
+        state.k_tail,
+        state.v_tail,
+        tail_pos,
+        state.flushed,
+        state.phase,
         state.pos,
         slow_dims(cfg),
         cos,
         sin,
-        causal_within=False,
         norm_eps=cfg.norm_eps,
+        attend_limit=attend_limit,
     )
     h_last = h[:, 0]
     token_logits = token_head(params, cfg, h_last[:, None, :])[:, 0]
     out = _frame_from_hidden(
         params, cfg, token_cfg, h_last, token_logits, state.finished, rng, settings
     )
-    new_state = DecodeState(
-        k=k_cache,
-        v=v_cache,
+    W = state.tail_len
+    new_state = state._replace(
+        k_tail=k_tail,
+        v_tail=v_tail,
+        tail_pos=tail_pos,
+        phase=(state.phase + 1) % W,
         pos=state.pos + 1,
         prev_tokens=out.tokens,
         finished=out.finished,

@@ -31,6 +31,7 @@ from smoltts_tpu.config import DualARConfig
 from smoltts_tpu.lm.decode import (
     DecodeState,
     decode_frame,
+    flush_kv,
     init_decode_state,
     prefill,
 )
@@ -116,6 +117,10 @@ class DecodeEngine:
         )
         self._admit_cache: Dict[Tuple[int, int], callable] = {}
         self._admit_vocode_cache: Dict[int, callable] = {}
+        # Ring-tail flush cadence (see lm/decode.py:DecodeState).
+        self._flush = jax.jit(flush_kv)
+        self._since_flush = 0
+        self._tail_len = int(self.state.tail_len)
 
     # ------------------------------------------------------------------
 
@@ -150,9 +155,13 @@ class DecodeEngine:
                     prompt_len,
                     rng,
                 )
-                new_state = DecodeState(
+                new_state = state._replace(
                     k=state.k.at[:, slots].set(sub.k),
                     v=state.v.at[:, slots].set(sub.v),
+                    # Invalidate any stale ring-tail entries of the reused
+                    # slots; the prompt K/V went straight to the history.
+                    tail_pos=state.tail_pos.at[slots].set(-1),
+                    flushed=state.flushed.at[slots].set(sub.flushed),
                     pos=state.pos.at[slots].set(sub.pos),
                     prev_tokens=state.prev_tokens.at[slots].set(sub.prev_tokens),
                     finished=state.finished.at[slots].set(sub.finished),
@@ -270,6 +279,9 @@ class DecodeEngine:
 
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
+            if self._since_flush >= self._tail_len - 1:
+                self.state = self._flush(self.state)
+                self._since_flush = 0
             self.rng, sub = jax.random.split(self.rng)
             pcm = None
             if self.mimi_state is not None:
@@ -279,6 +291,7 @@ class DecodeEngine:
                 pcm = np.asarray(pcm)
             else:
                 self.state, out = self._decode(self.params, state=self.state, rng=sub)
+            self._since_flush += 1
             codes = np.asarray(out.audio_codes)
             is_audio = np.asarray(out.is_audio)
             fin = np.asarray(out.finished)

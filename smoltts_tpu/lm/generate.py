@@ -24,6 +24,7 @@ from smoltts_tpu.config import DualARConfig
 from smoltts_tpu.lm.decode import (
     DecodeState,
     FrameOutput,
+    flush_kv,
     init_decode_state,
     make_decode_fns,
 )
@@ -95,6 +96,10 @@ class FrameGenerator:
         self.metrics.prefill_ms = (time.perf_counter() - t0) * 1e3
         self._first: Optional[FrameOutput] = first
         self._emitted = 0
+        # Ring-tail flush cadence: consolidate before the tail wraps.
+        self._flush_fn = jax.jit(flush_kv)
+        self._since_flush = 0
+        self._tail_len = int(self.state.tail_len)
 
     def __iter__(self) -> Iterator[FrameOutput]:
         return self
@@ -108,8 +113,12 @@ class FrameGenerator:
             raise StopIteration
         if bool(np.asarray(self.state.finished).all()):
             raise StopIteration
+        if self._since_flush >= self._tail_len - 1:
+            self.state = self._flush_fn(self.state)
+            self._since_flush = 0
         self.rng, sub = jax.random.split(self.rng)
         self.state, out = self._decode_fn(self.params, self.state, sub)
+        self._since_flush += 1
         self._emitted += 1
         return out
 
@@ -161,6 +170,12 @@ def make_device_generator(
     from smoltts_tpu.lm.decode import decode_frame, prefill
 
     def run(params, state, prompt, prompt_len, rng):
+        # The whole generation scans inside one program, so the ring tail
+        # must cover it (size the state with tail_len >= num_frames).
+        assert state.k_tail.shape[3] >= num_frames, (
+            f"device generator needs tail_len >= num_frames "
+            f"({state.k_tail.shape[3]} < {num_frames})"
+        )
         rng, sub = jax.random.split(rng)
         state, first = prefill(
             params, cfg, token_cfg, settings, state, prompt, prompt_len, sub

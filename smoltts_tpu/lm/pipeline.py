@@ -53,17 +53,24 @@ def make_stream_step(
     token_cfg: TokenConfig,
     settings: GenerationSettings,
     mimi_cfg: MimiConfig,
+    attend_limit: Optional[int] = None,
 ):
     """(lm_params, mimi_params, state, mimi_state, rng) ->
     (state', mimi_state', rng', StreamStepOutput) — one dispatch per frame.
 
     The PRNG key is split INSIDE the program and threaded through the
     return value: a host-side jax.random.split per frame costs ~15 ms
-    through a tunneled runtime and serializes the dispatch pipeline."""
+    through a tunneled runtime and serializes the dispatch pipeline.
+
+    `attend_limit` statically bounds slow-trunk attention reads (length
+    bucketing): the engine compiles one program per bucket and switches as
+    positions grow; state shapes are identical across buckets."""
 
     def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
         rng, sub = jax.random.split(rng)
-        state, out = decode_frame(lm_params, cfg, token_cfg, settings, state, sub)
+        state, out = decode_frame(
+            lm_params, cfg, token_cfg, settings, state, sub, attend_limit=attend_limit
+        )
         mimi_state, pcm = mimi_decode_step(
             mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
         )
@@ -110,14 +117,20 @@ def make_chunk_step(
     settings: GenerationSettings,
     mimi_cfg: MimiConfig,
     frames_per_chunk: int,
+    attend_limit: Optional[int] = None,
 ):
-    """K frames of LM + vocoder per dispatch via lax.scan (throughput mode)."""
+    """K frames of LM + vocoder per dispatch via lax.scan (throughput mode).
+
+    With `attend_limit`, the caller guarantees max(pos) + frames_per_chunk
+    <= attend_limit before the dispatch."""
 
     def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
         def body(carry, _):
             state, mimi_state, rng = carry
             rng, sub = jax.random.split(rng)
-            state, out = decode_frame(lm_params, cfg, token_cfg, settings, state, sub)
+            state, out = decode_frame(
+                lm_params, cfg, token_cfg, settings, state, sub, attend_limit=attend_limit
+            )
             mimi_state, pcm = mimi_decode_step(
                 mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
             )

@@ -183,3 +183,73 @@ def test_finished_streams_emit_im_end():
     assert int(out.slow_token[0]) == token_cfg.im_end_id
     assert bool(out.finished[0])
     assert not bool(out.is_audio[0])
+
+
+def test_attend_limit_bucketing_is_exact():
+    """decode_frame with a static attend_limit >= max(pos)+1 must produce
+    bit-identical results to the unbucketed step (greedy)."""
+    cfg = make_cfg()
+    token_cfg = make_token_cfg(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0)
+
+    T, S, B = 6, 64, 2
+    prompts = np.stack(
+        [audio_prompt(cfg, token_cfg, T, seed=5), audio_prompt(cfg, token_cfg, T, seed=6)]
+    )
+    def run(attend_limit):
+        state = init_decode_state(cfg, B, S, dtype=jnp.float32)
+        state, out = prefill(
+            params, cfg, token_cfg, settings, state,
+            jnp.asarray(prompts), jnp.full((B,), T, jnp.int32), jax.random.PRNGKey(7),
+        )
+        frames = [np.asarray(out.tokens)]
+        for i in range(5):
+            state, out = decode_frame(
+                params, cfg, token_cfg, settings, state, jax.random.PRNGKey(8 + i),
+                attend_limit=attend_limit,
+            )
+            frames.append(np.asarray(out.tokens))
+        return np.stack(frames)
+
+    full = run(None)
+    bucketed = run(16)  # covers T + 5 frames = 11 positions
+    np.testing.assert_array_equal(full, bucketed)
+
+
+def test_flush_equivalence():
+    """Greedy decode with a tiny ring tail (forcing mid-generation flushes)
+    must match decode with a large tail (no flush)."""
+    from smoltts_tpu.lm.decode import flush_kv, init_decode_state as init_st
+
+    cfg = make_cfg()
+    token_cfg = make_token_cfg(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(9))
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0)
+    T, B, N = 6, 2, 9
+    prompts = np.stack(
+        [audio_prompt(cfg, token_cfg, T, seed=1), audio_prompt(cfg, token_cfg, T, seed=2)]
+    )
+
+    def run(tail_len, flush_every):
+        state = init_st(cfg, B, 64, dtype=jnp.float32, tail_len=tail_len)
+        state, out = prefill(
+            params, cfg, token_cfg, settings, state,
+            jnp.asarray(prompts), jnp.full((B,), T, jnp.int32), jax.random.PRNGKey(3),
+        )
+        frames = [np.asarray(out.tokens)]
+        since = 0
+        for i in range(N):
+            if since >= flush_every:
+                state = flush_kv(state)
+                since = 0
+            state, out = decode_frame(
+                params, cfg, token_cfg, settings, state, jax.random.PRNGKey(10 + i)
+            )
+            since += 1
+            frames.append(np.asarray(out.tokens))
+        return np.stack(frames)
+
+    big = run(tail_len=32, flush_every=10**9)
+    small = run(tail_len=4, flush_every=3)
+    np.testing.assert_array_equal(big, small)
