@@ -48,7 +48,9 @@ def main():
     from smoltts_tpu.config import smoltts_byte_150m
     from smoltts_tpu.lm.decode import init_decode_state
     from smoltts_tpu.lm.pipeline import (
+        flush_cadence,
         make_chunk_step,
+        make_flush_step,
         make_prefill_step,
         make_stream_step,
     )
@@ -77,6 +79,7 @@ def main():
     prefill_step = make_prefill_step(cfg, token_cfg, settings, mimi_cfg)
     stream_step = make_stream_step(cfg, token_cfg, settings, mimi_cfg, attend_limit=BUCKET)
     chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, CHUNK, attend_limit=BUCKET)
+    flush_step = make_flush_step()
 
     def fresh_state():
         return (
@@ -86,6 +89,7 @@ def main():
 
     def run_streaming(n_frames):
         state, mstate = fresh_state()
+        cadence = flush_cadence(state, mstate)
         key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
         state, mstate, key, out = prefill_step(
@@ -93,21 +97,33 @@ def main():
         )
         np.asarray(out.pcm[0, :4, 0])  # first audible chunk reaches the host
         t_first = time.perf_counter() - t0
+        since_flush = 0
         for _ in range(n_frames - 1):
+            if since_flush >= cadence:
+                state, mstate = flush_step(state, mstate)
+                since_flush = 0
             state, mstate, key, out = stream_step(params, mimi_params, state, mstate, key)
+            since_flush += 1
         np.asarray(out.pcm)  # fetch the final chunk: forces the full chain
         return t_first, time.perf_counter() - t0
 
     def run_chunked(n_frames):
         state, mstate = fresh_state()
+        cadence = flush_cadence(state, mstate)
+        assert CHUNK <= cadence, "chunk must fit within one flush window"
         key = jax.random.PRNGKey(1)
         state, mstate, key, out = prefill_step(
             params, mimi_params, state, mstate, prompt, prompt_len, key
         )
         jax.block_until_ready(out.pcm)
         t0 = time.perf_counter()
+        since_flush = 0
         for _ in range(n_frames // CHUNK):
+            if since_flush + CHUNK > cadence:
+                state, mstate = flush_step(state, mstate)
+                since_flush = 0
             state, mstate, key, out = chunk_step(params, mimi_params, state, mstate, key)
+            since_flush += CHUNK
         np.asarray(out.pcm)
         return time.perf_counter() - t0
 

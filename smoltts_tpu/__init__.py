@@ -171,7 +171,12 @@ class SmolTTS:
         from smoltts_tpu.codec.mimi import decode_stream_init
         from smoltts_tpu.lm.decode import init_decode_state
         from smoltts_tpu.lm.generate import pad_prompts
-        from smoltts_tpu.lm.pipeline import make_prefill_step, make_stream_step
+        from smoltts_tpu.lm.pipeline import (
+            flush_cadence,
+            make_flush_step,
+            make_prefill_step,
+            make_stream_step,
+        )
 
         if self.codec_params is None:
             raise RuntimeError("no Mimi weights loaded; pass mimi_path")
@@ -196,12 +201,19 @@ class SmolTTS:
             rng,
         )
         yield np.asarray(out.pcm).flatten()
+        flush_step = make_flush_step()
+        cadence = flush_cadence(state, mstate)
+        since_flush = 0
         for _ in range(self.generation_settings.max_new_tokens - 1):
             if bool(np.asarray(out.finished)[0]):
                 break
+            if since_flush >= cadence:
+                state, mstate = flush_step(state, mstate)
+                since_flush = 0
             state, mstate, rng, out = stream_step(
                 self.params, self.codec_params, state, mstate, rng
             )
+            since_flush += 1
             yield np.asarray(out.pcm).flatten()
 
     def create_speaker(

@@ -46,6 +46,7 @@ from smoltts_tpu.codec.seanet import (
 )
 from smoltts_tpu.codec.transformer import (
     TransformerRingState,
+    flush_transformer_ring,
     ring_state_init,
     transformer_forward,
     transformer_stream_step,
@@ -357,6 +358,7 @@ def reset_stream_slots(state: MimiStreamState, slots: jnp.ndarray) -> MimiStream
             k=t.k.at[:, slots].set(0),
             v=t.v.at[:, slots].set(0),
             slot_pos=t.slot_pos.at[slots].set(-1),
+            tail_abs=t.tail_abs.at[slots].set(-1),
             pos=t.pos.at[slots].set(0),
         ),
         decoder=dec,
@@ -369,16 +371,29 @@ def scatter_stream_state(
     """Write an n-slot streaming state into the given slots of a B-slot state."""
     dec = jax.tree.map(lambda b, s: b.at[slots].set(s), big.decoder, small.decoder)
     bt, st = big.transformer, small.transformer
+    # The small state's tail phase may differ from the big state's; flush the
+    # small state first so everything it carries lives in its ring.
+    st_flushed = flush_transformer_ring(st)
     return MimiStreamState(
         upsample_tail=big.upsample_tail.at[slots].set(small.upsample_tail),
         transformer=bt._replace(
-            k=bt.k.at[:, slots].set(st.k),
-            v=bt.v.at[:, slots].set(st.v),
-            slot_pos=bt.slot_pos.at[slots].set(st.slot_pos),
-            pos=bt.pos.at[slots].set(st.pos),
+            k=bt.k.at[:, slots].set(st_flushed.k),
+            v=bt.v.at[:, slots].set(st_flushed.v),
+            slot_pos=bt.slot_pos.at[slots].set(st_flushed.slot_pos),
+            tail_abs=bt.tail_abs.at[slots].set(-1),
+            pos=bt.pos.at[slots].set(st_flushed.pos),
         ),
         decoder=dec,
     )
+
+
+def flush_mimi_state(state: MimiStreamState) -> MimiStreamState:
+    """Consolidate the codec transformer's ring tail (see
+    transformer.flush_transformer_ring). Callers driving mimi_decode_step in
+    a loop must flush before the tail wraps: at most every
+    tail_len // (frames_per_step * 2) steps (2 transformer tokens per 80 ms
+    frame)."""
+    return state._replace(transformer=flush_transformer_ring(state.transformer))
 
 
 def mimi_decode_step(

@@ -26,13 +26,33 @@ from smoltts_tpu.codec.config import MimiConfig
 
 
 class TransformerRingState(NamedTuple):
-    k: jnp.ndarray  # [L, B, W, H, hd] (post-RoPE keys)
+    """Streaming KV state, split like the LM decode cache (lm/decode.py):
+
+    the big ring (`k`/`v`, `sliding_window` slots with per-slot absolute
+    positions) is READ-ONLY during `transformer_stream_step` — new tokens go
+    to the small ring TAIL (`k_tail`/`v_tail`) at a shared scalar column, so
+    the step program never copies the ring at the jit boundary.
+    `flush_transformer_ring` scatters the tail into the ring; callers must
+    flush before the tail wraps (at most every tail_len // T_per_step steps).
+    """
+
+    k: jnp.ndarray  # [L, B, W, H, hd] (post-RoPE keys) — ring, read-only per step
     v: jnp.ndarray  # [L, B, W, H, hd]
     slot_pos: jnp.ndarray  # [B, W] absolute position per ring slot, -1 = empty
+    k_tail: jnp.ndarray  # [L, B, Wt, H, hd]
+    v_tail: jnp.ndarray  # [L, B, Wt, H, hd]
+    tail_abs: jnp.ndarray  # [B, Wt] absolute position per tail column, -1 = empty
+    t_phase: jnp.ndarray  # [] int32 — next tail write column
     pos: jnp.ndarray  # [B] next absolute position
 
+    @property
+    def tail_len(self) -> int:
+        return self.k_tail.shape[2]
 
-def ring_state_init(cfg: MimiConfig, batch: int, dtype=jnp.float32) -> TransformerRingState:
+
+def ring_state_init(
+    cfg: MimiConfig, batch: int, dtype=jnp.float32, tail_len: int = 64
+) -> TransformerRingState:
     W = cfg.sliding_window
     H, hd = cfg.num_attention_heads, cfg.head_dim
     L = cfg.num_hidden_layers
@@ -40,7 +60,37 @@ def ring_state_init(cfg: MimiConfig, batch: int, dtype=jnp.float32) -> Transform
         k=jnp.zeros((L, batch, W, H, hd), dtype),
         v=jnp.zeros((L, batch, W, H, hd), dtype),
         slot_pos=jnp.full((batch, W), -1, jnp.int32),
+        k_tail=jnp.zeros((L, batch, tail_len, H, hd), dtype),
+        v_tail=jnp.zeros((L, batch, tail_len, H, hd), dtype),
+        tail_abs=jnp.full((batch, tail_len), -1, jnp.int32),
+        t_phase=jnp.zeros((), jnp.int32),
         pos=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def flush_transformer_ring(state: TransformerRingState) -> TransformerRingState:
+    """Scatter every valid tail entry into the ring (slot = abs_pos mod W)
+    and reset the tail. Streaming outputs are identical with or without
+    intermediate flushes (tests/test_mimi_parity.py)."""
+    W = state.k.shape[2]
+    valid = state.tail_abs >= 0  # [B, Wt]
+    slots = jnp.where(valid, state.tail_abs % W, W)  # OOB -> dropped
+
+    def flush_one(ring_b, tail_b, slots_b):
+        # ring_b [L, W, H, hd]; tail_b [L, Wt, H, hd]; slots_b [Wt]
+        return ring_b.at[:, slots_b].set(tail_b, mode="drop")
+
+    k = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.k, state.k_tail, slots)
+    v = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.v, state.v_tail, slots)
+    slot_pos = jax.vmap(lambda sp, sl, ab: sp.at[sl].set(ab, mode="drop"))(
+        state.slot_pos, slots, state.tail_abs
+    )
+    return state._replace(
+        k=k,
+        v=v,
+        slot_pos=slot_pos,
+        tail_abs=jnp.full_like(state.tail_abs, -1),
+        t_phase=jnp.zeros_like(state.t_phase),
     )
 
 
@@ -139,43 +189,76 @@ def transformer_stream_step(
 
     abs_pos = state.pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
     cos, sin = _rope_half_cos_sin(abs_pos, hd, cfg.rope_theta)
-    slots = abs_pos % W  # [B, T]
-    new_slot_pos = jax.vmap(lambda sp, sl, ap: sp.at[sl].set(ap))(
-        state.slot_pos, slots, abs_pos
-    )
+    phase = state.t_phase
+    # Claim T contiguous tail columns (shared scalar start for every slot).
+    tail_abs = jax.lax.dynamic_update_slice(state.tail_abs, abs_pos, (0, phase))
 
-    def write_ring(cache_l, new):  # [B, W, H, hd], [B, T, H, hd]
-        return jax.vmap(lambda c, sl, n: c.at[sl].set(n.astype(c.dtype)))(
-            cache_l, slots, new
-        )
-
-    # Validity: slot holds a position in (q - W, q], per query.
-    # [B, T, W]
-    valid_base = new_slot_pos[:, None, :]  # slot abs positions after write
     q_abs = abs_pos[:, :, None]
-    mask = (valid_base >= 0) & (valid_base <= q_abs) & (valid_base > q_abs - W)
-    mask = mask[:, None]  # [B, 1, T, W]
+    # Ring entries: position in (q - W, q] (stale wrapped slots fall out of
+    # the window automatically; tail-resident positions are NOT yet in the
+    # ring, so no double counting).
+    ring_mask = (
+        (state.slot_pos[:, None, :] >= 0)
+        & (state.slot_pos[:, None, :] <= q_abs)
+        & (state.slot_pos[:, None, :] > q_abs - W)
+    )[:, None]  # [B, 1, T, W]
+    tail_mask = (
+        (tail_abs[:, None, :] >= 0)
+        & (tail_abs[:, None, :] <= q_abs)
+        & (tail_abs[:, None, :] > q_abs - W)
+    )[:, None]  # [B, 1, T, Wt]
 
-    def body(carry, lp_kv):
-        h, = carry
-        lp, kc, vc = lp_kv
+    # Unrolled layer loop with in-place (dynamic_update_slice) tail writes:
+    # under lax.scan the ring k/v were xs/ys, and every iteration
+    # round-tripped the whole per-layer ring slice through HBM — the
+    # dominant vocoder-step cost in the profiler. The ring itself is now a
+    # pure input (no jit-boundary copy).
+    L = state.k.shape[0]
+    h = x
+    k_tail, v_tail = state.k_tail, state.v_tail
+    for l in range(L):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
         hn = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
         q = (hn @ lp["wq"]).reshape(B, T, H, hd)
         k = (hn @ lp["wk"]).reshape(B, T, H, hd)
         v = (hn @ lp["wv"]).reshape(B, T, H, hd)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
-        kc = write_ring(kc, k)
-        vc = write_ring(vc, v)
-        att = _mha(q, kc, vc, mask, scale) @ lp["wo"]
+        k_tail = jax.lax.dynamic_update_slice(
+            k_tail, k[None].astype(k_tail.dtype), (l, 0, phase, 0, 0)
+        )
+        v_tail = jax.lax.dynamic_update_slice(
+            v_tail, v[None].astype(v_tail.dtype), (l, 0, phase, 0, 0)
+        )
+        # Two einsums + joint softmax: concatenating the ring and tail K/V
+        # would materialize a fresh [B, W+Wt, H, hd] buffer per layer.
+        lr = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, state.k[l], preferred_element_type=jnp.float32
+        ) * scale
+        lt = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_tail[l], preferred_element_type=jnp.float32
+        ) * scale
+        logits = jnp.concatenate(
+            [jnp.where(ring_mask, lr, -jnp.inf), jnp.where(tail_mask, lt, -jnp.inf)],
+            axis=-1,
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        pr = probs[..., :W].astype(state.v.dtype)
+        pt = probs[..., W:].astype(v_tail.dtype)
+        att = (
+            jnp.einsum("bhqk,bkhd->bqhd", pr, state.v[l])
+            + jnp.einsum("bhqk,bkhd->bqhd", pt, v_tail[l])
+        ).reshape(B, T, H * hd).astype(h.dtype) @ lp["wo"]
         h = h + att * lp["scale_attn"]
         hn = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
         mlp = jax.nn.gelu(hn @ lp["fc1"], approximate=False) @ lp["fc2"]
         h = h + mlp * lp["scale_mlp"]
-        return (h,), (kc, vc)
-
-    (x,), (k_new, v_new) = jax.lax.scan(body, (x,), (params["layers"], state.k, state.v))
-    new_state = TransformerRingState(
-        k=k_new, v=v_new, slot_pos=new_slot_pos, pos=state.pos + T
+    x = h
+    new_state = state._replace(
+        k_tail=k_tail,
+        v_tail=v_tail,
+        tail_abs=tail_abs,
+        t_phase=phase + T,
+        pos=state.pos + T,
     )
     return new_state, x

@@ -261,20 +261,28 @@ def _decode_trunk_tailed(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-token trunk over the split (history + ring-tail) cache.
 
-    History is consumed read-only (scan xs), per-layer K/V go to the tail at
-    the shared scalar column `phase` (one dynamic_update_slice per layer).
-    Returns (h, k_tail', v_tail'); the history is untouched, so the calling
-    jit program passes it through without a boundary copy.
+    History is consumed read-only; per-layer K/V go to the tail at the
+    shared scalar column `phase`. Returns (h, k_tail', v_tail'); the history
+    is untouched, so the calling jit program passes it through without a
+    boundary copy.
+
+    The layer loop is UNROLLED (a Python loop over static layer indices):
+    under lax.scan the tail would be scan xs/ys, and every iteration's
+    slice-out/DUS/slice-back round-trips the whole per-layer tail through
+    HBM (~2 ms/step at B=64 measured in the profiler). Unrolled, each layer
+    issues one single-column dynamic_update_slice on the stacked tail, which
+    XLA performs in place.
     """
     from smoltts_tpu.ops.attention import decode_attention_tailed
 
     B = x.shape[0]
+    L = k_hist.shape[0]
     S = k_hist.shape[3]
     lim = S if attend_limit is None else min(attend_limit, S)
 
-    def block(carry, lp_kv):
-        h = carry
-        lp, kh, vh, kt, vt = lp_kv
+    h = x
+    for l in range(L):
+        lp = jax.tree.map(lambda a: a[l], layer_params)
         hn = rms_norm(h, lp["attention_norm"], norm_eps)
         qkv = hn @ lp["wqkv"]
         if "wqkv_bias" in lp:
@@ -282,24 +290,30 @@ def _decode_trunk_tailed(
         q, k, v = split_qkv(qkv, dims)  # [B, 1, H, hd]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kt = jax.lax.dynamic_update_slice(
-            kt, k.transpose(0, 2, 1, 3).astype(kt.dtype), (0, 0, phase, 0)
+        k_tail = jax.lax.dynamic_update_slice(
+            k_tail,
+            k.transpose(0, 2, 1, 3)[None].astype(k_tail.dtype),
+            (l, 0, 0, phase, 0),
         )
-        vt = jax.lax.dynamic_update_slice(
-            vt, v.transpose(0, 2, 1, 3).astype(vt.dtype), (0, 0, phase, 0)
+        v_tail = jax.lax.dynamic_update_slice(
+            v_tail,
+            v.transpose(0, 2, 1, 3)[None].astype(v_tail.dtype),
+            (l, 0, 0, phase, 0),
         )
         att = decode_attention_tailed(
-            q[:, 0], kh[:, :, :lim], vh[:, :, :lim], kt, vt, pos, flushed, tail_pos
+            q[:, 0],
+            k_hist[l, :, :, :lim],
+            v_hist[l, :, :, :lim],
+            k_tail[l],
+            v_tail[l],
+            pos,
+            flushed,
+            tail_pos,
         )[:, None, :]
         h = h + att @ lp["wo"]
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
         h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
-        return h, (kt, vt)
-
-    x, (k_tail, v_tail) = jax.lax.scan(
-        block, x, (layer_params, k_hist, v_hist, k_tail, v_tail)
-    )
-    return x, k_tail, v_tail
+    return h, k_tail, v_tail
 
 
 def _cached_sdpa_multi(
@@ -351,16 +365,26 @@ def _fast_micro_loop(
     fast_temp = settings.default_fast_temp
     n_idx = jnp.arange(n)
 
-    def fast_trunk_step(x, kc, vc, i, cos_i, sin_i):
-        """One micro-step through the fast layers.
+    # Both the 8-step micro-loop and the 4-layer trunk are UNROLLED (static
+    # Python loops): at these tiny shapes the lax.scan while-loop overhead
+    # and its per-iteration cache slice round-trips dominate the actual
+    # compute (~3 ms/frame at B=64 in the profiler; the unrolled form lets
+    # XLA chain the single-column cache updates in place). The position `i`
+    # is a SCALAR shared by every stream, so each cache write is one
+    # dynamic_update_slice (a vmapped per-stream write lowers to thousands
+    # of tiny select ops — 5.6 ms/frame on v5e before this specialization).
+    group = fdims.n_head // fdims.n_kv_head
+    layer_params = [
+        jax.tree.map(lambda a: a[l], params["fast_layers"])
+        for l in range(cfg.n_fast_layer)
+    ]
 
-        Unlike the slow trunk, the position `i` is a SCALAR shared by every
-        stream, so cache writes are one dynamic_update_slice per layer (a
-        vmapped per-stream write lowers to thousands of tiny select ops —
-        5.6 ms/frame on v5e before this specialization)."""
-
-        def block(h, lp_kv):
-            lp, kcl, vcl = lp_kv  # kcl: [B, H_kv, n, hd]
+    x, kc, vc = x0, k0, v0
+    codes_list = []
+    for i in range(n):
+        cos_i, sin_i = fcos[i][None, None], fsin[i][None, None]  # [1,1,half]
+        h = x
+        for l, lp in enumerate(layer_params):
             hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
             qkv = hn @ lp["wqkv"]
             if "wqkv_bias" in lp:
@@ -368,39 +392,27 @@ def _fast_micro_loop(
             q, k, v = split_qkv(qkv, fdims)  # [B, 1, H, hd]
             q = apply_rope(q, cos_i, sin_i)
             k = apply_rope(k, cos_i, sin_i)
-            kcl = jax.lax.dynamic_update_slice(
-                kcl, k.transpose(0, 2, 1, 3).astype(kcl.dtype), (0, 0, i, 0)
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.transpose(0, 2, 1, 3)[None].astype(kc.dtype), (l, 0, 0, i, 0)
             )
-            vcl = jax.lax.dynamic_update_slice(
-                vcl, v.transpose(0, 2, 1, 3).astype(vcl.dtype), (0, 0, i, 0)
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.transpose(0, 2, 1, 3)[None].astype(vc.dtype), (l, 0, 0, i, 0)
             )
-            # Attention with a shared mask over the n cached positions.
-            group = fdims.n_head // fdims.n_kv_head
+            # Attention over the i+1 cached positions (static slice).
+            kcl, vcl = kc[l, :, :, : i + 1], vc[l, :, :, : i + 1]
             qg = q[:, 0].reshape(B, fdims.n_kv_head, group, fdims.head_dim)
             logits = jnp.einsum(
                 "bhgd,bhkd->bhgk", qg, kcl, preferred_element_type=jnp.float32
             ) * (fdims.head_dim**-0.5)
-            logits = jnp.where(n_idx[None, None, None, :] <= i, logits, -jnp.inf)
             probs = jax.nn.softmax(logits, axis=-1).astype(vcl.dtype)
             att = jnp.einsum("bhgk,bhkd->bhgd", probs, vcl)
             att = att.reshape(B, 1, fdims.n_head * fdims.head_dim)
             h = h + att @ lp["wo"]
             hn = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
             h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
-            return h, (kcl, vcl)
 
-        x, (kc, vc) = jax.lax.scan(block, x, (params["fast_layers"], kc, vc))
-        return x, kc, vc
-
-    def step(carry, i):
-        x, kc, vc, rng = carry
-        cos_i, sin_i = fcos[i][None, None], fsin[i][None, None]  # [1,1,half]
-        h, kc, vc = fast_trunk_step(x, kc, vc, i, cos_i, sin_i)
         fast_out = rms_norm(h[:, 0], params["fast_norm"], cfg.norm_eps)
-        if cfg.depthwise_output:
-            w_i = jax.lax.dynamic_index_in_dim(w_out, i, axis=0, keepdims=False)
-        else:
-            w_i = w_out
+        w_i = w_out[i] if cfg.depthwise_output else w_out
         logits = (fast_out @ w_i).astype(jnp.float32)  # [B, cb]
 
         rng, sub = jax.random.split(rng)
@@ -410,22 +422,18 @@ def _fast_micro_loop(
             )
         else:
             code = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        codes_list.append(code)
 
         # Re-embed for the next micro-step. Depthwise tables are offset per
         # position (lm/generate.py:136-140); the final step's embedding is
-        # unused (and its offset would run off the table — JAX clips the
-        # gather, matching the reference's silent OOB lookup).
-        if cfg.depthwise_wte:
-            offset = (i if cfg.duplicate_code_0 else i + 1) * cfg.codebook_size
-        else:
-            offset = jnp.zeros((), jnp.int32)
-        x_next = params["fast_embeddings"][code + offset][:, None, :]
-        return (x_next, kc, vc, rng), code
-
-    (_, _, _, _), codes = jax.lax.scan(
-        step, (x0, k0, v0, rng), jnp.arange(n)
-    )
-    return codes.T  # [B, n]
+        # skipped entirely (the reference performs a silent OOB lookup there).
+        if i + 1 < n:
+            if cfg.depthwise_wte:
+                offset = (i if cfg.duplicate_code_0 else i + 1) * cfg.codebook_size
+            else:
+                offset = 0
+            x = params["fast_embeddings"][code + offset][:, None, :]
+    return jnp.stack(codes_list, axis=1)  # [B, n]
 
 
 # --------------------------------------------------------------------------
@@ -626,22 +634,26 @@ def decode_frame(
 
 
 def make_decode_fns(cfg: DualARConfig, token_cfg: TokenConfig, settings: GenerationSettings):
-    """Build jitted (prefill, decode_frame) closures with donated state."""
-    from smoltts_tpu.lm.pipeline import _donate_names
+    """Build jitted (prefill, decode_frame) closures.
 
-    pf = jax.jit(
-        partial(prefill, cfg=cfg, token_cfg=token_cfg, settings=settings),
-        donate_argnames=_donate_names("state"),
-    )
-    df = jax.jit(
-        partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
-        donate_argnames=_donate_names("state"),
-    )
+    The decode step takes the KV history as INPUT ONLY and returns a state
+    with k/v stripped (a host wrapper splices them back): jit outputs always
+    materialize fresh buffers — even pass-through ones — which would copy
+    the whole history every frame (see pipeline.py)."""
+    pf = jax.jit(partial(prefill, cfg=cfg, token_cfg=token_cfg, settings=settings))
+
+    def df(params, k, v, rest, rng):
+        state = rest._replace(k=k, v=v)
+        new_state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
+        return new_state._replace(k=None, v=None), out
+
+    df = jax.jit(df)
 
     def prefill_fn(params, state, prompt, prompt_len, rng):
         return pf(params, state=state, prompt=prompt, prompt_len=prompt_len, rng=rng)
 
     def decode_fn(params, state, rng):
-        return df(params, state=state, rng=rng)
+        rest, out = df(params, state.k, state.v, state._replace(k=None, v=None), rng)
+        return rest._replace(k=state.k, v=state.v), out
 
     return prefill_fn, decode_fn

@@ -98,29 +98,55 @@ class DecodeEngine:
 
             self.mimi_state = decode_stream_init(mimi_cfg, num_slots, dtype=kv_dtype)
 
-            def decode_vocode(params, mimi_params, state, mstate, rng):
+            def decode_vocode(params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng):
                 from smoltts_tpu.codec.mimi import mimi_decode_step
+                from smoltts_tpu.lm.pipeline import _merge_lm, _merge_mimi, _split_lm, _split_mimi
 
+                state = _merge_lm(lm_k, lm_v, rest)
+                mstate = _merge_mimi(ring_k, ring_v, mrest)
                 state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
                 mstate, pcm = mimi_decode_step(
                     mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
                 )
-                return state, mstate, out, pcm
+                _, _, rest = _split_lm(state)
+                _, _, mrest = _split_mimi(mstate)
+                return rest, mrest, out, pcm
 
-            self._decode_vocode = jax.jit(
-                decode_vocode, donate_argnames=_donate_names("state", "mstate")
-            )
+            _decode_vocode_jit = jax.jit(decode_vocode)
 
-        self._decode = jax.jit(
-            partial(decode_frame, cfg=cfg, token_cfg=token_cfg, settings=settings),
-            donate_argnames=_donate_names("state"),
-        )
+            def decode_vocode_wrapped(params, mimi_params, state, mstate, rng):
+                from smoltts_tpu.lm.pipeline import _merge_lm, _merge_mimi, _split_lm, _split_mimi
+
+                lm_k, lm_v, rest = _split_lm(state)
+                ring_k, ring_v, mrest = _split_mimi(mstate)
+                rest, mrest, out, pcm = _decode_vocode_jit(
+                    params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng
+                )
+                return _merge_lm(lm_k, lm_v, rest), _merge_mimi(ring_k, ring_v, mrest), out, pcm
+
+            self._decode_vocode = decode_vocode_wrapped
+
+        def decode_only(params, lm_k, lm_v, rest, rng):
+            state = rest._replace(k=lm_k, v=lm_v)
+            state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
+            return state._replace(k=None, v=None), out
+
+        _decode_jit = jax.jit(decode_only)
+
+        def decode_wrapped(params, state, rng):
+            rest, out = _decode_jit(params, state.k, state.v, state._replace(k=None, v=None), rng)
+            return rest._replace(k=state.k, v=state.v), out
+
+        self._decode = decode_wrapped
         self._admit_cache: Dict[Tuple[int, int], callable] = {}
         self._admit_vocode_cache: Dict[int, callable] = {}
-        # Ring-tail flush cadence (see lm/decode.py:DecodeState).
-        self._flush = jax.jit(flush_kv)
+        # Ring-tail flush cadence for the LM (and, when vocoding, the codec
+        # transformer) tails — see lm/decode.py:DecodeState.
+        from smoltts_tpu.lm.pipeline import flush_cadence, make_flush_step
+
+        self._flush = make_flush_step()
         self._since_flush = 0
-        self._tail_len = int(self.state.tail_len)
+        self._flush_every = flush_cadence(self.state, self.mimi_state)
 
     # ------------------------------------------------------------------
 
@@ -279,8 +305,8 @@ class DecodeEngine:
 
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
-            if self._since_flush >= self._tail_len - 1:
-                self.state = self._flush(self.state)
+            if self._since_flush >= self._flush_every:
+                self.state, self.mimi_state = self._flush(self.state, self.mimi_state)
                 self._since_flush = 0
             self.rng, sub = jax.random.split(self.rng)
             pcm = None
@@ -290,7 +316,7 @@ class DecodeEngine:
                 )
                 pcm = np.asarray(pcm)
             else:
-                self.state, out = self._decode(self.params, state=self.state, rng=sub)
+                self.state, out = self._decode(self.params, self.state, sub)
             self._since_flush += 1
             codes = np.asarray(out.audio_codes)
             is_audio = np.asarray(out.is_audio)

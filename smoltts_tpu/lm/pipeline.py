@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from smoltts_tpu.codec.config import MimiConfig
-from smoltts_tpu.codec.mimi import MimiStreamState, mimi_decode_step
+from smoltts_tpu.codec.mimi import MimiStreamState, flush_mimi_state, mimi_decode_step
 from smoltts_tpu.config import DualARConfig
 from smoltts_tpu.lm.decode import DecodeState, decode_frame, prefill
 from smoltts_tpu.lm.samplers import GenerationSettings
@@ -39,6 +39,38 @@ def _donate_names(*names):
     import os
 
     return names if os.environ.get("SMOLTTS_DONATE") == "1" else ()
+
+
+
+
+# --------------------------------------------------------------------------
+# History-splitting wrappers
+# --------------------------------------------------------------------------
+#
+# This runtime (like any jit without donation) materializes a fresh output
+# buffer even for values that pass through a program unchanged — measured
+# ~640 GB/s, i.e. ~1 ms per 336 MB KV history per step. The per-frame step
+# programs therefore take the big read-only buffers (LM KV history, codec
+# transformer ring) as INPUTS ONLY and return states with those fields set
+# to None; thin host-side wrappers splice the originals back in. Only
+# prefill/admission and the periodic flush programs output fresh histories.
+
+
+def _split_lm(state: DecodeState):
+    return state.k, state.v, state._replace(k=None, v=None)
+
+
+def _merge_lm(k, v, rest: DecodeState) -> DecodeState:
+    return rest._replace(k=k, v=v)
+
+
+def _split_mimi(ms: MimiStreamState):
+    t = ms.transformer
+    return t.k, t.v, ms._replace(transformer=t._replace(k=None, v=None))
+
+
+def _merge_mimi(k, v, ms: MimiStreamState) -> MimiStreamState:
+    return ms._replace(transformer=ms.transformer._replace(k=k, v=v))
 
 
 class StreamStepOutput(NamedTuple):
@@ -66,7 +98,9 @@ def make_stream_step(
     bucketing): the engine compiles one program per bucket and switches as
     positions grow; state shapes are identical across buckets."""
 
-    def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
+    def step(lm_params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mimi_rest, rng):
+        state = _merge_lm(lm_k, lm_v, rest)
+        mimi_state = _merge_mimi(ring_k, ring_v, mimi_rest)
         rng, sub = jax.random.split(rng)
         state, out = decode_frame(
             lm_params, cfg, token_cfg, settings, state, sub, attend_limit=attend_limit
@@ -74,14 +108,26 @@ def make_stream_step(
         mimi_state, pcm = mimi_decode_step(
             mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
         )
-        return state, mimi_state, rng, StreamStepOutput(
+        _, _, rest = _split_lm(state)
+        _, _, mimi_rest = _split_mimi(mimi_state)
+        return rest, mimi_rest, rng, StreamStepOutput(
             pcm=pcm,
             audio_codes=out.audio_codes,
             is_audio=out.is_audio,
             finished=out.finished,
         )
 
-    return jax.jit(step, donate_argnames=_donate_names("state", "mimi_state"))
+    jitted = jax.jit(step)
+
+    def wrapped(lm_params, mimi_params, state, mimi_state, rng):
+        lm_k, lm_v, rest = _split_lm(state)
+        ring_k, ring_v, mimi_rest = _split_mimi(mimi_state)
+        rest, mimi_rest, rng, out = jitted(
+            lm_params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mimi_rest, rng
+        )
+        return _merge_lm(lm_k, lm_v, rest), _merge_mimi(ring_k, ring_v, mimi_rest), rng, out
+
+    return wrapped
 
 
 def make_prefill_step(
@@ -124,9 +170,11 @@ def make_chunk_step(
     With `attend_limit`, the caller guarantees max(pos) + frames_per_chunk
     <= attend_limit before the dispatch."""
 
-    def step(lm_params, mimi_params, state: DecodeState, mimi_state: MimiStreamState, rng):
+    def step(lm_params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mimi_rest, rng):
         def body(carry, _):
-            state, mimi_state, rng = carry
+            rest, mimi_rest, rng = carry
+            state = _merge_lm(lm_k, lm_v, rest)
+            mimi_state = _merge_mimi(ring_k, ring_v, mimi_rest)
             rng, sub = jax.random.split(rng)
             state, out = decode_frame(
                 lm_params, cfg, token_cfg, settings, state, sub, attend_limit=attend_limit
@@ -134,19 +182,55 @@ def make_chunk_step(
             mimi_state, pcm = mimi_decode_step(
                 mimi_params, mimi_cfg, mimi_state, out.audio_codes[:, :, None]
             )
-            return (state, mimi_state, rng), (pcm, out.audio_codes, out.is_audio)
+            _, _, rest = _split_lm(state)
+            _, _, mimi_rest = _split_mimi(mimi_state)
+            return (rest, mimi_rest, rng), (pcm, out.audio_codes, out.is_audio)
 
-        (state, mimi_state, rng), (pcm, codes, is_audio) = jax.lax.scan(
-            body, (state, mimi_state, rng), None, length=frames_per_chunk
+        (rest, mimi_rest, rng), (pcm, codes, is_audio) = jax.lax.scan(
+            body, (rest, mimi_rest, rng), None, length=frames_per_chunk
         )
         # pcm: [K, B, spf, 1] -> [B, K*spf, 1]
         K, B, spf, _ = pcm.shape
         pcm = pcm.transpose(1, 0, 2, 3).reshape(B, K * spf, 1)
-        return state, mimi_state, rng, StreamStepOutput(
+        return rest, mimi_rest, rng, StreamStepOutput(
             pcm=pcm,
             audio_codes=codes.transpose(1, 2, 0),
             is_audio=is_audio.transpose(1, 0),
-            finished=state.finished,
+            finished=rest.finished,
         )
 
-    return jax.jit(step, donate_argnames=_donate_names("state", "mimi_state"))
+    jitted = jax.jit(step)
+
+    def wrapped(lm_params, mimi_params, state, mimi_state, rng):
+        lm_k, lm_v, rest = _split_lm(state)
+        ring_k, ring_v, mimi_rest = _split_mimi(mimi_state)
+        rest, mimi_rest, rng, out = jitted(
+            lm_params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mimi_rest, rng
+        )
+        return _merge_lm(lm_k, lm_v, rest), _merge_mimi(ring_k, ring_v, mimi_rest), rng, out
+
+    return wrapped
+
+
+def make_flush_step():
+    """Jitted combined flush of the LM ring tail and the codec transformer
+    ring tail (one dispatch). Serving loops call this every
+    `flush_every` frames, where flush_every <= min(lm tail_len,
+    mimi tail_len // 2) - 1 (2 codec tokens per frame)."""
+    from smoltts_tpu.lm.decode import flush_kv
+
+    def step(state: DecodeState, mimi_state: Optional[MimiStreamState]):
+        state = flush_kv(state)
+        if mimi_state is not None:
+            mimi_state = flush_mimi_state(mimi_state)
+        return state, mimi_state
+
+    return jax.jit(step)
+
+
+def flush_cadence(state: DecodeState, mimi_state: Optional[MimiStreamState]) -> int:
+    """Max frames between flushes for the given state shapes."""
+    frames = int(state.tail_len) - 1
+    if mimi_state is not None:
+        frames = min(frames, int(mimi_state.transformer.tail_len) // 2 - 1)
+    return max(frames, 1)

@@ -168,3 +168,33 @@ def test_streaming_chunk_sizes(models):
     np.testing.assert_allclose(
         np.concatenate(out1, axis=1), np.concatenate(out2, axis=1), rtol=1e-4, atol=1e-5
     )
+
+
+def test_streaming_flush_equivalence(models):
+    """Streaming with a tiny ring tail (forcing mid-stream flushes) equals
+    streaming with a roomy tail (no flush)."""
+    from smoltts_tpu.codec.mimi import flush_mimi_state
+    from smoltts_tpu.codec.transformer import ring_state_init
+
+    _, params, cfg = models
+    rng = np.random.default_rng(5)
+    T = 9
+    codes = jnp.asarray(rng.integers(0, cfg.codebook_size, (1, 8, T)))
+
+    def run(tail_len, flush_every):
+        state = decode_stream_init(cfg, batch=1)
+        state = state._replace(transformer=ring_state_init(cfg, 1, tail_len=tail_len))
+        out = []
+        since = 0
+        for t in range(T):
+            if since >= flush_every:
+                state = flush_mimi_state(state)
+                since = 0
+            state, pcm = mimi_decode_step(params, cfg, state, codes[:, :, t : t + 1])
+            since += 1
+            out.append(np.asarray(pcm))
+        return np.concatenate(out, axis=1)
+
+    roomy = run(tail_len=64, flush_every=10**9)
+    tight = run(tail_len=8, flush_every=3)  # 2 tokens/frame -> flush every 3 frames
+    np.testing.assert_allclose(tight, roomy, rtol=1e-4, atol=1e-5)
