@@ -81,10 +81,10 @@ def main():
     chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, CHUNK, attend_limit=BUCKET)
     flush_step = make_flush_step()
 
-    def fresh_state():
+    def fresh_state(lm_tail=128, mimi_tail=64):
         return (
-            init_decode_state(cfg, B, S, dtype=jnp.bfloat16),
-            decode_stream_init(mimi_cfg, B, dtype=jnp.bfloat16),
+            init_decode_state(cfg, B, S, dtype=jnp.bfloat16, tail_len=lm_tail),
+            decode_stream_init(mimi_cfg, B, dtype=jnp.bfloat16, tail_len=mimi_tail),
         )
 
     def run_streaming(n_frames):
@@ -108,7 +108,9 @@ def main():
         return t_first, time.perf_counter() - t0
 
     def run_chunked(n_frames):
-        state, mstate = fresh_state()
+        # Chunked scans carry the ring tails (double-buffered per frame), so
+        # size them to the chunk window: carry bytes scale with tail_len.
+        state, mstate = fresh_state(lm_tail=2 * CHUNK, mimi_tail=4 * CHUNK)
         cadence = flush_cadence(state, mstate)
         assert CHUNK <= cadence, "chunk must fit within one flush window"
         key = jax.random.PRNGKey(1)
@@ -127,9 +129,13 @@ def main():
         np.asarray(out.pcm)
         return time.perf_counter() - t0
 
-    # Warmup / compile all three programs.
+    # Warmup / compile all programs, including the periodic flush (which
+    # otherwise compiles inside the timed region on first firing).
     run_streaming(2)
-    run_chunked(CHUNK)
+    _st, _ms = fresh_state()
+    flush_step(_st, _ms)
+    run_chunked(3 * CHUNK)
+    del _st, _ms
 
     firsts = [run_streaming(2)[0] for _ in range(5)]
     first_audio_ms = float(np.median(firsts) * 1e3)

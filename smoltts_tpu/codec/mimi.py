@@ -333,14 +333,14 @@ class MimiStreamState(NamedTuple):
 
 
 def decode_stream_init(
-    cfg: MimiConfig, batch: int, dtype=jnp.float32
+    cfg: MimiConfig, batch: int, dtype=jnp.float32, tail_len: int = 64
 ) -> MimiStreamState:
     K = cfg.downsample_kernel
     return MimiStreamState(
         upsample_tail=convtr_stream_init(
             batch, cfg.hidden_size, K, cfg.downsample_stride, dtype
         ),
-        transformer=ring_state_init(cfg, batch, dtype),
+        transformer=ring_state_init(cfg, batch, dtype, tail_len=tail_len),
         decoder=seanet_stream_init(build_decoder_plan(cfg), batch, dtype),
     )
 
