@@ -14,6 +14,7 @@ tables are [rows, dim]. The torch/safetensors importer transposes.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -112,6 +113,82 @@ def split_qkv(
     return q, k, v
 
 
+def sdpa_blockwise(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Causal GQA attention with online (flash-style) softmax over K blocks.
+
+    Numerically equivalent to `sdpa(is_causal=True, mask=None)` (fp32 online
+    softmax) but never materializes the [B, H, T, T] logits: the eager form
+    writes+reads ~450 MB of fp32 probabilities per layer at the training
+    shapes (B16 x T768 x H12), which dominates the train step in the
+    profiler. Each q-block is wrapped in jax.checkpoint so the backward pass
+    recomputes block logits instead of storing them.
+
+    Attention-prob dropout (reference rq_transformer.py:559-566 semantics)
+    is drawn per block from fold_in(dropout_rng, block_index) — the same
+    Bernoulli(1-p)/(1-p) distribution as the eager path, different bits.
+    The normalizer uses undropped probabilities, matching torch SDPA (which
+    drops after softmax).
+    """
+    B, T, H, hd = q.shape
+    n_kv = k.shape[2]
+    group = H // n_kv
+    scale = hd**-0.5
+    NQ, NK = T // block_q, T // block_k
+    qg = q.reshape(B, T, n_kv, group, hd)
+
+    def one_q_block(qi, qb, k, v, rng):
+        # qb [B, bq, n_kv, g, hd] -> out [B, bq, n_kv, g, hd]
+        m = jnp.full((B, n_kv, group, block_q), -jnp.inf, jnp.float32)
+        l = jnp.zeros((B, n_kv, group, block_q), jnp.float32)
+        acc = jnp.zeros((B, n_kv, group, block_q, hd), jnp.float32)
+        n_kb = (qi * block_q) // block_k + (block_q + block_k - 1) // block_k
+        for kj in range(min(n_kb, NK)):
+            kb = k[:, kj * block_k : (kj + 1) * block_k]
+            vb = v[:, kj * block_k : (kj + 1) * block_k]
+            logits = (
+                jnp.einsum(
+                    "bqhgd,bkhd->bhgqk", qb, kb, preferred_element_type=jnp.float32
+                )
+                * scale
+            )  # [B, n_kv, g, bq, bk]
+            q_idx = qi * block_q + jnp.arange(block_q)
+            k_idx = kj * block_k + jnp.arange(block_k)
+            causal = q_idx[:, None] >= k_idx[None, :]
+            logits = jnp.where(causal, logits, -jnp.inf)
+
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[..., None])  # undropped
+            l = l * corr + jnp.sum(p, axis=-1)
+            if dropout_rate > 0.0 and rng is not None:
+                blk_rng = jax.random.fold_in(rng, qi * NK + kj)
+                keep = jax.random.bernoulli(blk_rng, 1.0 - dropout_rate, p.shape)
+                p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhgqk,bkhd->bhgqd", p.astype(v.dtype), vb,
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+        out = acc / jnp.maximum(l[..., None], 1e-30)
+        return out.transpose(0, 3, 1, 2, 4).astype(q.dtype)  # [B, bq, n_kv, g, hd]
+
+    outs = []
+    for qi in range(NQ):
+        qb = qg[:, qi * block_q : (qi + 1) * block_q]
+        fn = jax.checkpoint(partial(one_q_block, qi))
+        outs.append(fn(qb, k, v, dropout_rng))
+    return jnp.concatenate(outs, axis=1).reshape(B, T, H * hd)
+
+
 def sdpa(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -128,7 +205,20 @@ def sdpa(
     mask: bool [*, Tq, Tk] broadcastable, True = attend. Softmax in fp32.
     Matches torch SDPA semantics used at rq_transformer.py:559-566
     (is_causal, dropout on attention probabilities at train time).
+
+    Long causal self-attention (the packed-batch trainer) routes to
+    `sdpa_blockwise`, which avoids materializing [B, H, T, T] logits.
     """
+    if (
+        is_causal
+        and mask is None
+        and q.shape[1] == k.shape[1]
+        and q.shape[1] >= 512
+        and q.shape[1] % 256 == 0
+    ):
+        return sdpa_blockwise(
+            q, k, v, dropout_rate=dropout_rate, dropout_rng=dropout_rng
+        )
     B, Tq, n_head, hd = q.shape
     n_kv = k.shape[2]
     group = n_head // n_kv

@@ -51,3 +51,69 @@ def test_grad_checkpointing_matches():
     g2 = jax.grad(loss)(params, cfg_ckpt)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_sdpa_blockwise_matches_eager():
+    """Blockwise online-softmax attention == eager SDPA (fp32, causal), and
+    their gradients agree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smoltts_tpu.models.layers import sdpa, sdpa_blockwise
+
+    B, T, H, n_kv, hd = 2, 768, 6, 2, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, n_kv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, n_kv, hd)), jnp.float32)
+
+    ref = sdpa(q, k, v, None, is_causal=True)  # routes to blockwise at T=768
+    eager = sdpa(q[:, :256], k[:, :256], v[:, :256], None, is_causal=True)
+    # cross-check the router: short seq goes eager; recompute full eager inline
+    def eager_full(q, k, v):
+        g = H // n_kv
+        qg = q.reshape(B, T, n_kv, g, hd)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k).astype(jnp.float32) * hd**-0.5
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        logits = jnp.where(causal, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhgqk,bkhd->bqhgd", p, v).reshape(B, T, H * hd)
+
+    full = eager_full(q, k, v)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(full), rtol=2e-5, atol=2e-5)
+
+    def loss_block(q, k, v):
+        return jnp.sum(sdpa_blockwise(q, k, v) ** 2)
+
+    def loss_eager(q, k, v):
+        return jnp.sum(eager_full(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_block, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+def test_sdpa_blockwise_dropout_statistics():
+    """Prob-dropout in the blockwise path keeps the expected output scale
+    and is deterministic in the rng."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smoltts_tpu.models.layers import sdpa_blockwise
+
+    B, T, H, n_kv, hd = 2, 512, 4, 2, 32
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, n_kv, hd)), jnp.float32)
+    v = jnp.asarray(np.abs(rng.standard_normal((B, T, n_kv, hd))), jnp.float32)
+
+    base = np.asarray(sdpa_blockwise(q, k, v))
+    key = jax.random.PRNGKey(0)
+    d1 = np.asarray(sdpa_blockwise(q, k, v, dropout_rate=0.1, dropout_rng=key))
+    d2 = np.asarray(sdpa_blockwise(q, k, v, dropout_rate=0.1, dropout_rng=key))
+    np.testing.assert_array_equal(d1, d2)  # deterministic in rng
+    # E[dropped] == base; average over everything should agree within ~1%
+    assert abs(d1.mean() - base.mean()) / abs(base.mean()) < 0.02

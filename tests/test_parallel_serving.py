@@ -1,0 +1,86 @@
+"""Mesh-sharded serving: the fused frame pipeline over an 8-device virtual
+CPU mesh (streams sharded over `data`, optional TP over `model`) must
+produce bit-identical greedy results to single-device execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smoltts_tpu.codec.config import MimiConfig
+from smoltts_tpu.codec.mimi import decode_stream_init, init_mimi_params
+from smoltts_tpu.config import ModelType, tiny_debug_config
+from smoltts_tpu.lm.decode import init_decode_state
+from smoltts_tpu.lm.pipeline import make_prefill_step, make_stream_step
+from smoltts_tpu.lm.samplers import GenerationSettings
+from smoltts_tpu.models.dual_ar import init_params
+from smoltts_tpu.parallel.mesh import make_mesh
+from smoltts_tpu.parallel.serving import shard_serving
+from smoltts_tpu.tokenizer import ByteTokenizer, TokenConfig
+
+CB = 32
+
+
+def _setup():
+    cfg = tiny_debug_config(codebook_size=CB, vocab_size=256 + 64 + CB)
+    tok = ByteTokenizer(cfg.codebook_size)
+    token_cfg = TokenConfig.from_tokenizer(ModelType.smoltts_v0(), tok, cfg)
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0)
+    mimi_cfg = MimiConfig(
+        num_filters=8,
+        hidden_size=32,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        head_dim=16,
+        intermediate_size=64,
+        num_quantizers=8,
+        codebook_size=CB,
+        codebook_dim=16,
+        sliding_window=16,
+        upsample_groups=32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    mimi_params = init_mimi_params(mimi_cfg, dtype=jnp.float32)
+    return cfg, token_cfg, settings, mimi_cfg, params, mimi_params
+
+
+def _run(cfg, token_cfg, settings, mimi_cfg, params, mimi_params, mesh=None, tp=False):
+    B, T, S = 8, 6, 64
+    rng = np.random.default_rng(0)
+    prompt = np.zeros((B, cfg.num_rows, T), np.int32)
+    prompt[:, 0] = token_cfg.semantic_start_id + rng.integers(0, CB, (B, T))
+    prompt[:, 1:] = rng.integers(0, CB, (B, cfg.num_rows - 1, T))
+
+    state = init_decode_state(cfg, B, S, dtype=jnp.float32, tail_len=8)
+    mstate = decode_stream_init(mimi_cfg, B, dtype=jnp.float32, tail_len=8)
+    p, mp = params, mimi_params
+    if mesh is not None:
+        p, state, mp, mstate = shard_serving(
+            p, state, mesh, mimi_params=mp, mimi_state=mstate, tensor_parallel=tp
+        )
+
+    prefill_step = make_prefill_step(cfg, token_cfg, settings, mimi_cfg)
+    stream_step = make_stream_step(cfg, token_cfg, settings, mimi_cfg)
+    key = jax.random.PRNGKey(1)
+    state, mstate, key, out = prefill_step(
+        p, mp, state, mstate, jnp.asarray(prompt), jnp.full((B,), T, jnp.int32), key
+    )
+    frames = [np.asarray(out.audio_codes)]
+    pcms = [np.asarray(out.pcm)]
+    for _ in range(3):
+        state, mstate, key, out = stream_step(p, mp, state, mstate, key)
+        frames.append(np.asarray(out.audio_codes))
+        pcms.append(np.asarray(out.pcm))
+    return np.stack(frames), np.concatenate(pcms, axis=1)
+
+
+@pytest.mark.parametrize("tp", [False, True])
+def test_sharded_serving_matches_single_device(tp):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (tests/conftest.py sets them up)")
+    setup = _setup()
+    ref_frames, ref_pcm = _run(*setup)
+    mesh = make_mesh(4, 2) if tp else make_mesh(8, 1)
+    got_frames, got_pcm = _run(*setup, mesh=mesh, tp=tp)
+    np.testing.assert_array_equal(ref_frames, got_frames)
+    np.testing.assert_allclose(ref_pcm, got_pcm, rtol=1e-5, atol=1e-5)
