@@ -255,6 +255,11 @@ class TrainingConfig(BaseModel):
     seed: int = 0
     log_every_n_steps: int = 10
     remat_policy: str = "none"  # "none" | "dots" (see models/dual_ar.run_trunk)
+    # >0: capture a jax.profiler trace over steps [2, 2+profile_steps) — the
+    # TPU equivalent of the reference's nsys run config
+    # (config/kokoro_v0.19/pg_kokoro_wte_nsys.json).
+    profile_steps: int = 0
+    profile_dir: str = "/tmp/smoltts_trace"
 
 
 def load_training_config(path: Union[str, Path]) -> TrainingConfig:

@@ -153,9 +153,19 @@ def train_loop(
         cfg, config, tx, accumulate_steps=config.accumulate_steps
     )
     t0 = time.perf_counter()
+    profiling = False
     for i, batch in enumerate(train_batches):
         if max_steps is not None and i >= max_steps:
             break
+        # Optional profiler window (skip step 0/1 compiles): the TPU-native
+        # version of the reference's nsys-wrapped run config.
+        if config.profile_steps > 0:
+            if i == 2 and not profiling:
+                jax.profiler.start_trace(config.profile_dir)
+                profiling = True
+            elif profiling and i >= 2 + config.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
         step = int(state.step)
@@ -175,4 +185,6 @@ def train_loop(
 
         if checkpoint_manager and step % config.save_every_n_steps == 0 and step > 0:
             checkpoint_manager.save(state, step)
+    if profiling:
+        jax.profiler.stop_trace()
     return state
