@@ -68,6 +68,14 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     mimi_params = init_mimi_params(mimi_cfg, dtype=jnp.bfloat16)
 
+    # BENCH_INT8=1: int8 weight-only decode (ops/quant.py) — halves the
+    # per-frame HBM weight traffic of the LM trunks + heads.
+    quantized = os.environ.get("BENCH_INT8") == "1"
+    if quantized:
+        from smoltts_tpu.ops.quant import quantize_decode_params
+
+        params = quantize_decode_params(params)
+
     B = N_STREAMS
     rng = np.random.default_rng(0)
     prompt = np.zeros((B, cfg.num_rows, PROMPT_LEN), np.int32)
@@ -158,6 +166,7 @@ def main():
             "attend_bucket": BUCKET,
             "streams": B,
             "frames": N_FRAMES,
+            "int8_weights": quantized,
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },

@@ -43,7 +43,11 @@ class SmolTTS:
         mimi_path: Optional[Union[str, Path]] = None,
         dtype=None,
         generation_settings=None,
+        quantize: Optional[str] = None,
     ):
+        """`quantize="int8"` enables weight-only int8 decode for the LM
+        trunks + heads (ops/quant.py): halves per-frame HBM weight traffic;
+        embeddings and norms stay in bf16."""
         import jax
         import jax.numpy as jnp
 
@@ -61,6 +65,12 @@ class SmolTTS:
             self.model_type, self.tokenizer, self.config
         )
         self.params = load_params(checkpoint_dir, self.config, dtype=dtype)
+        if quantize == "int8":
+            from smoltts_tpu.ops.quant import quantize_decode_params
+
+            self.params = quantize_decode_params(self.params)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
         self.prompt_encoder = PromptEncoder.from_config(
             self.tokenizer, self.config, self.token_config, self.model_type
         )

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from smoltts_tpu.config import DualARConfig
+from smoltts_tpu.ops.quant import mm, qindex
 from smoltts_tpu.lm.samplers import (
     GenerationSettings,
     constrain_logits_to_audio,
@@ -203,7 +204,7 @@ def _decode_trunk(
         h = carry
         lp, kc, vc = lp_kv
         hn = rms_norm(h, lp["attention_norm"], norm_eps)
-        qkv = hn @ lp["wqkv"]
+        qkv = mm(hn, lp["wqkv"])
         if "wqkv_bias" in lp:
             qkv = qkv + lp["wqkv_bias"]
         q, k, v = split_qkv(qkv, dims)
@@ -232,7 +233,7 @@ def _decode_trunk(
                 kr = kc[:, :, :attend_limit]
                 vr = vc[:, :, :attend_limit]
             att = decode_attention(q[:, 0], kr, vr, pos)[:, None, :]
-        h = h + att @ lp["wo"]
+        h = h + mm(att, lp["wo"])
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
         h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
         return h, (kc, vc)
@@ -284,7 +285,7 @@ def _decode_trunk_tailed(
     for l in range(L):
         lp = jax.tree.map(lambda a: a[l], layer_params)
         hn = rms_norm(h, lp["attention_norm"], norm_eps)
-        qkv = hn @ lp["wqkv"]
+        qkv = mm(hn, lp["wqkv"])
         if "wqkv_bias" in lp:
             qkv = qkv + lp["wqkv_bias"]
         q, k, v = split_qkv(qkv, dims)  # [B, 1, H, hd]
@@ -310,7 +311,7 @@ def _decode_trunk_tailed(
             flushed,
             tail_pos,
         )[:, None, :]
-        h = h + att @ lp["wo"]
+        h = h + mm(att, lp["wo"])
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
         h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
     return h, k_tail, v_tail
@@ -386,7 +387,7 @@ def _fast_micro_loop(
         h = x
         for l, lp in enumerate(layer_params):
             hn = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
-            qkv = hn @ lp["wqkv"]
+            qkv = mm(hn, lp["wqkv"])
             if "wqkv_bias" in lp:
                 qkv = qkv + lp["wqkv_bias"]
             q, k, v = split_qkv(qkv, fdims)  # [B, 1, H, hd]
@@ -407,13 +408,13 @@ def _fast_micro_loop(
             probs = jax.nn.softmax(logits, axis=-1).astype(vcl.dtype)
             att = jnp.einsum("bhgk,bhkd->bhgd", probs, vcl)
             att = att.reshape(B, 1, fdims.n_head * fdims.head_dim)
-            h = h + att @ lp["wo"]
+            h = h + mm(att, lp["wo"])
             hn = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
             h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
 
         fast_out = rms_norm(h[:, 0], params["fast_norm"], cfg.norm_eps)
-        w_i = w_out[i] if cfg.depthwise_output else w_out
-        logits = (fast_out @ w_i).astype(jnp.float32)  # [B, cb]
+        w_i = qindex(w_out, i) if cfg.depthwise_output else w_out
+        logits = mm(fast_out, w_i).astype(jnp.float32)  # [B, cb]
 
         rng, sub = jax.random.split(rng)
         if fast_temp is not None and fast_temp > 0:

@@ -265,13 +265,17 @@ def token_head(params: DualARParams, cfg: DualARConfig, x: jnp.ndarray) -> jnp.n
     slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
     if cfg.tie_word_embeddings:
         return slow_out @ params["embeddings"].T
-    return slow_out @ params["output"]
+    from smoltts_tpu.ops.quant import mm
+
+    return mm(slow_out, params["output"])
 
 
 def project_fast_in(params: DualARParams, cfg: DualARConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.fast_dim != cfg.dim:
+        from smoltts_tpu.ops.quant import mm
+
         p = params["fast_project_in"]
-        return x @ p["kernel"] + p["bias"]
+        return mm(x, p["kernel"]) + p["bias"]
     return x
 
 

@@ -51,9 +51,13 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return normed.astype(x.dtype) * weight
 
 
-def swiglu(x: jnp.ndarray, w1: jnp.ndarray, w3: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU FFN: w2(silu(x w1) * (x w3)) (rq_transformer.py:573-582)."""
-    return (jax.nn.silu(x @ w1) * (x @ w3)) @ w2
+def swiglu(x: jnp.ndarray, w1, w3, w2) -> jnp.ndarray:
+    """SwiGLU FFN: w2(silu(x w1) * (x w3)) (rq_transformer.py:573-582).
+
+    Weights may be plain arrays or int8 QTensors (ops/quant.py)."""
+    from smoltts_tpu.ops.quant import mm
+
+    return mm(jax.nn.silu(mm(x, w1)) * mm(x, w3), w2)
 
 
 # --------------------------------------------------------------------------

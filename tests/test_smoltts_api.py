@@ -80,3 +80,29 @@ def test_wav_io():
     assert len(wav) == 44 + 2 * pcm.size
     hdr = wav_header(24_000)
     assert len(hdr) == 44
+
+
+def test_quantized_int8_api(checkpoint_dir):
+    """SmolTTS(quantize="int8") quantizes the LM decode weights and still
+    produces PCM end to end."""
+    from smoltts_tpu.codec.config import MimiConfig
+    from smoltts_tpu.codec.mimi import init_mimi_params
+    from smoltts_tpu.lm.samplers import GenerationSettings
+    from smoltts_tpu.ops.quant import QTensor
+
+    tts = SmolTTS(
+        checkpoint_dir,
+        generation_settings=GenerationSettings(
+            default_temp=0.0, default_fast_temp=0.0, max_new_tokens=3
+        ),
+        quantize="int8",
+    )
+    tts.codec_config = MimiConfig()
+    tts.codec_params = init_mimi_params(tts.codec_config, seed=0)
+    assert isinstance(tts.params["layers"]["wqkv"], QTensor)
+    assert tts.params["layers"]["wqkv"].q.dtype == jnp.int8
+    pcm = tts("Hi.", voice="heart")
+    assert pcm.ndim == 1 and np.all(np.isfinite(pcm))
+
+    with pytest.raises(ValueError):
+        SmolTTS(checkpoint_dir, quantize="int4")
