@@ -22,6 +22,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from smoltts_tpu.ops.quant import mm
+
 from smoltts_tpu.codec.config import MimiConfig
 
 
@@ -140,7 +142,7 @@ def _block(x, lp, cfg: MimiConfig, attn_fn):
     att = attn_fn(h, lp)
     x = x + att * lp["scale_attn"]
     h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
-    mlp = jax.nn.gelu(h @ lp["fc1"], approximate=False) @ lp["fc2"]
+    mlp = mm(jax.nn.gelu(mm(h, lp["fc1"]), approximate=False), lp["fc2"])
     return x + mlp * lp["scale_mlp"]
 
 
@@ -161,12 +163,12 @@ def transformer_forward(
     scale = hd**-0.5
 
     def attn(h, lp):
-        q = (h @ lp["wq"]).reshape(B, T, H, hd)
-        k = (h @ lp["wk"]).reshape(B, T, H, hd)
-        v = (h @ lp["wv"]).reshape(B, T, H, hd)
+        q = mm(h, lp["wq"]).reshape(B, T, H, hd)
+        k = mm(h, lp["wk"]).reshape(B, T, H, hd)
+        v = mm(h, lp["wv"]).reshape(B, T, H, hd)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
-        return _mha(q, k, v, mask, scale) @ lp["wo"]
+        return mm(_mha(q, k, v, mask, scale), lp["wo"])
 
     def body(h, lp):
         return _block(h, lp, cfg, attn), None
@@ -219,9 +221,9 @@ def transformer_stream_step(
     for l in range(L):
         lp = jax.tree.map(lambda a: a[l], params["layers"])
         hn = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
-        q = (hn @ lp["wq"]).reshape(B, T, H, hd)
-        k = (hn @ lp["wk"]).reshape(B, T, H, hd)
-        v = (hn @ lp["wv"]).reshape(B, T, H, hd)
+        q = mm(hn, lp["wq"]).reshape(B, T, H, hd)
+        k = mm(hn, lp["wk"]).reshape(B, T, H, hd)
+        v = mm(hn, lp["wv"]).reshape(B, T, H, hd)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
         k_tail = jax.lax.dynamic_update_slice(
@@ -248,10 +250,11 @@ def transformer_stream_step(
         att = (
             jnp.einsum("bhqk,bkhd->bqhd", pr, state.v[l])
             + jnp.einsum("bhqk,bkhd->bqhd", pt, v_tail[l])
-        ).reshape(B, T, H * hd).astype(h.dtype) @ lp["wo"]
+        )
+        att = mm(att.reshape(B, T, H * hd).astype(h.dtype), lp["wo"])
         h = h + att * lp["scale_attn"]
         hn = _layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.norm_eps)
-        mlp = jax.nn.gelu(hn @ lp["fc1"], approximate=False) @ lp["fc2"]
+        mlp = mm(jax.nn.gelu(mm(hn, lp["fc1"]), approximate=False), lp["fc2"])
         h = h + mlp * lp["scale_mlp"]
     x = h
     new_state = state._replace(
