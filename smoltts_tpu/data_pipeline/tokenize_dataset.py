@@ -1,22 +1,30 @@
-"""ChatML dataset tokenizer: Mimi codes -> packed training rows.
+"""Dataset tokenizer CLI: Mimi-code utterances -> packed ChatML training rows.
 
-Port of the reference CLI (data_pipeline/scripts/chatml_tokenize_dataset.py:
-15-274): config-driven tokenization strategy, speaker strategy (`id_token`
-with a known speaker list -> `<|speaker:n|>` sysprompts, `fixed` sysprompt,
-or `omit`), max-duration filtering, greedy first-fit-decreasing packing per
-speaker within `max_sequence_length` (sysprompt length included), emitting
-`ground_truth [1+depth, T]` rows. The causal shift stays at train-time
-collate (smoltts_tpu/train/data.py), like the reference.
+Capability parity with the reference pipeline
+(data_pipeline/scripts/chatml_tokenize_dataset.py:15-274): JSON-config-driven
+tokenization strategy, speaker strategy (``id_token`` with a speaker list ->
+``<|speaker:n|>`` system turns, ``fixed`` sysprompt, or ``omit``),
+max-duration filtering, and first-fit-decreasing packing per speaker within
+``max_sequence_length`` (system-turn width reserved up front). Rows come out
+as ``ground_truth [1+depth, T]``; the causal shift stays at train-time collate
+(smoltts_tpu/train/data.py), matching the reference split of responsibilities.
+
+Implementation notes: packing reserves a per-speaker column budget and bins
+utterance *lists* (one concatenate per bin at the end) rather than growing
+arrays; behavior is pinned by tests/test_data_pipeline.py (FFD invariants,
+no-content-lost, sysprompt prefix).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+from collections import defaultdict
+from pathlib import Path
 from typing import Dict, List, Literal, Optional
 
 import numpy as np
-from pydantic import BaseModel, Field
+from pydantic import BaseModel
 
 from smoltts_tpu.data_pipeline.prompt import PipelinePromptEncoder, TokenizationConfig
 
@@ -30,145 +38,182 @@ class TokenizationStrategy(BaseModel):
 
 
 class AudioConfig(BaseModel):
-    frame_rate: float = Field(default=12.5)
-    max_sample_secs: float = Field(default=15.0)
+    frame_rate: float = 12.5
+    max_sample_secs: float = 15.0
 
 
 class SpeakerStrategy(BaseModel):
     strategy: Literal["id_token", "fixed", "omit"]
-    speaker_names: Optional[List[str]] = Field(default=None)
-    default_sysprompt: Optional[str] = Field(default=None)
+    speaker_names: Optional[List[str]] = None
+    default_sysprompt: Optional[str] = None
 
 
 class PackingStrategy(BaseModel):
-    max_sequence_length: int = Field(default=768)
-    max_items_per_pack: int = Field(default=5)
-    window_size: int = Field(default=1600)
+    max_sequence_length: int = 768
+    max_items_per_pack: int = 5
+    window_size: int = 1600
 
 
 class PipelineConfig(BaseModel):
-    dataset_id: Optional[str] = Field(default=None)
-    dataset_path: Optional[str] = Field(default=None)
+    dataset_id: Optional[str] = None
+    dataset_path: Optional[str] = None
     tokenization: TokenizationStrategy
     speaker: SpeakerStrategy
     audio: AudioConfig
-    packing: Optional[PackingStrategy] = Field(default=None)
+    packing: Optional[PackingStrategy] = None
 
 
 class SyspromptEncoder:
-    """System-prompt construction per speaker strategy
-    (chatml_tokenize_dataset.py:47-98)."""
+    """Caches the per-speaker (or fixed) system turn and prepends it."""
 
     def __init__(self, dataset_config: PipelineConfig, prompt_encoder: PipelinePromptEncoder):
         self.dataset_config = dataset_config
-        self.default_sysprompt: Optional[np.ndarray] = None
-        self.speaker_cache: Optional[Dict[str, np.ndarray]] = None
-        if dataset_config.speaker.default_sysprompt is not None:
-            self.default_sysprompt = prompt_encoder.encode_text_turn(
-                role="system",
-                content=dataset_config.speaker.default_sysprompt,
-                add_generation_prompt=False,
+
+        def system_turn(content: str) -> np.ndarray:
+            return prompt_encoder.encode_text_turn(
+                role="system", content=content, add_generation_prompt=False
             )
-        elif dataset_config.speaker.speaker_names is not None:
+
+        spk = dataset_config.speaker
+        self.default_sysprompt: Optional[np.ndarray] = (
+            system_turn(spk.default_sysprompt) if spk.default_sysprompt is not None else None
+        )
+        self.speaker_cache: Optional[Dict[str, np.ndarray]] = None
+        if self.default_sysprompt is None and spk.speaker_names is not None:
             self.speaker_cache = {
-                name: prompt_encoder.encode_text_turn(
-                    role="system",
-                    content=f"<|speaker:{i}|>",
-                    add_generation_prompt=False,
-                )
-                for i, name in enumerate(dataset_config.speaker.speaker_names)
+                name: system_turn(f"<|speaker:{i}|>")
+                for i, name in enumerate(spk.speaker_names)
             }
 
-    def get_sysprompt_length(self, speaker_id: str) -> int:
+    def _turn_for(self, speaker_id: str) -> Optional[np.ndarray]:
         if self.default_sysprompt is not None:
-            return self.default_sysprompt.shape[-1]
+            return self.default_sysprompt
         if self.speaker_cache is not None:
-            return self.speaker_cache[speaker_id].shape[-1]
-        return 0
+            return self.speaker_cache[speaker_id]
+        return None
+
+    def get_sysprompt_length(self, speaker_id: str) -> int:
+        turn = self._turn_for(speaker_id)
+        return 0 if turn is None else turn.shape[-1]
 
     def add_sysprompt(self, ground_truth: np.ndarray, speaker_id: str) -> np.ndarray:
         if self.dataset_config.speaker.strategy == "omit":
             return ground_truth
-        if self.default_sysprompt is not None:
-            entry = self.default_sysprompt
-        elif self.speaker_cache is not None:
-            entry = self.speaker_cache[speaker_id]
-        else:
+        turn = self._turn_for(speaker_id)
+        if turn is None:
             raise ValueError(
-                "Must have default sysprompt or IDs, current strategy: "
-                f"{self.dataset_config.speaker.strategy}"
+                f"speaker strategy {self.dataset_config.speaker.strategy!r} requires "
+                "default_sysprompt or speaker_names"
             )
-        return np.concatenate([entry, ground_truth], axis=1)
+        return np.concatenate([turn, ground_truth], axis=1)
 
 
 def tts_tokenize_row(
     row: Dict, prompt_encoder: PipelinePromptEncoder, dataset_config: PipelineConfig
 ) -> Dict:
-    """One utterance -> ChatML user turn + VQ assistant turn."""
+    """One utterance -> [user ChatML turn | VQ assistant turn] columns."""
     text = row["text_normalized"]
     if dataset_config.tokenization.strategy == "bpe":
         text = text.encode("utf-8").decode("latin-1")
-    user_line = prompt_encoder.encode_text_turn(
-        role="user", content=text, add_generation_prompt=True
-    )
-    assistant_line = prompt_encoder.encode_vq(np.asarray(row["codes"]))
-    return {"ground_truth": np.concatenate([user_line, assistant_line], axis=1)}
+    turns = [
+        prompt_encoder.encode_text_turn(role="user", content=text, add_generation_prompt=True),
+        prompt_encoder.encode_vq(np.asarray(row["codes"])),
+    ]
+    return {"ground_truth": np.concatenate(turns, axis=1)}
 
 
 def causal_shift_row(row: Dict) -> Dict:
     gt = np.asarray(row["ground_truth"])
-    tokens = gt[:, :-1].copy()
-    labels = gt[:, 1:].copy()
-    labels[1:, :][labels[1:, :] == 0] = -100
+    tokens, labels = gt[:, :-1].copy(), gt[:, 1:].copy()
+    labels[1:][labels[1:] == 0] = -100  # text-only columns carry no codebook loss
     return {"tokens": tokens, "labels": labels}
 
 
 def pack_utterances(batch: Dict, sysprompt_encoder: SyspromptEncoder) -> Dict:
-    """Greedy first-fit-decreasing bin packing per speaker
-    (chatml_tokenize_dataset.py:136-175)."""
+    """First-fit-decreasing packing, grouped by speaker.
+
+    Each speaker gets a column budget of max_sequence_length minus its system
+    turn width; bins hold utterance lists and are concatenated (and prefixed
+    with the system turn) only once, at emission.
+    """
     max_len = sysprompt_encoder.dataset_config.packing.max_sequence_length
-    speakers: Dict[str, list] = {}
-    for speaker, tokens in zip(batch["speaker_id"], batch["ground_truth"]):
-        speakers.setdefault(speaker, []).append(np.asarray(tokens))
 
-    for speaker in speakers:
-        speakers[speaker].sort(key=lambda x: x.shape[-1], reverse=True)
+    by_speaker: Dict[str, list] = defaultdict(list)
+    for sid, gt in zip(batch["speaker_id"], batch["ground_truth"]):
+        by_speaker[sid].append(np.asarray(gt))
 
-    packed_bins, packed_ids = [], []
-    for speaker, utterances in speakers.items():
-        sys_len = sysprompt_encoder.get_sysprompt_length(speaker_id=speaker)
-        bins: list = []
-        for utt in utterances:
-            placed = False
-            for i in range(len(bins)):
-                if bins[i].shape[-1] + utt.shape[-1] + sys_len <= max_len:
-                    bins[i] = np.concatenate([bins[i], utt], axis=1)
-                    placed = True
+    out_rows, out_ids = [], []
+    for sid, utts in by_speaker.items():
+        budget = max_len - sysprompt_encoder.get_sysprompt_length(sid)
+        bins: list = []  # [used_columns, [utterance, ...]]
+        for utt in sorted(utts, key=lambda u: u.shape[-1], reverse=True):
+            width = utt.shape[-1]
+            for slot in bins:
+                if slot[0] + width <= budget:
+                    slot[0] += width
+                    slot[1].append(utt)
                     break
-            if not placed:
-                bins.append(utt)
-        packed_bins += bins
-        packed_ids += [speaker] * len(bins)
-
-    packed_bins = [
-        sysprompt_encoder.add_sysprompt(seq, sid)
-        for seq, sid in zip(packed_bins, packed_ids)
-    ]
-    return {"ground_truth": packed_bins, "speaker_id": packed_ids}
+            else:
+                bins.append([width, [utt]])
+        for _, members in bins:
+            seq = members[0] if len(members) == 1 else np.concatenate(members, axis=1)
+            out_rows.append(sysprompt_encoder.add_sysprompt(seq, sid))
+            out_ids.append(sid)
+    return {"ground_truth": out_rows, "speaker_id": out_ids}
 
 
 def _load_tokenizer(path: str):
-    from pathlib import Path
-
     p = Path(path)
-    if (p / "tokenizer.json").exists() or p.suffix == ".json":
+    tok_file = p / "tokenizer.json" if p.is_dir() else p
+    if tok_file.suffix == ".json" and tok_file.exists():
         from tokenizers import Tokenizer
 
-        f = p / "tokenizer.json" if p.is_dir() else p
-        return Tokenizer.from_file(str(f))
+        return Tokenizer.from_file(str(tok_file))
     from smoltts_tpu.tokenizer import ByteTokenizer
 
     return ByteTokenizer()
+
+
+def _open_dataset(cfg: PipelineConfig):
+    from datasets import load_dataset, load_from_disk
+
+    if cfg.dataset_path:
+        ds = load_from_disk(cfg.dataset_path)
+    elif cfg.dataset_id:
+        ds = load_dataset(cfg.dataset_id)
+    else:
+        raise ValueError("Neither dataset_id nor dataset_path specified in config!")
+    # normalize column names the encoders expect
+    cols = ds["train"].column_names
+    if "text" in cols:
+        ds = ds.rename_column("text", "text_normalized")
+    if "speaker" in cols:
+        ds = ds.rename_column("speaker", "speaker_id")
+    return ds
+
+
+def _process_shard(shard, cfg, prompt_encoder, sysprompt_encoder, num_proc: int):
+    frame_cap = cfg.audio.frame_rate * cfg.audio.max_sample_secs
+    print(f"Filtering rows above {cfg.audio.max_sample_secs}s")
+    shard = shard.filter(
+        lambda row: np.asarray(row["codes"]).shape[-1] <= frame_cap, num_proc=num_proc
+    )
+    print("Tokenizing dataset")
+    shard = shard.map(
+        lambda row: tts_tokenize_row(row, prompt_encoder, cfg),
+        remove_columns="codes",
+        num_proc=num_proc,
+    )
+    if cfg.packing is not None:
+        print("Packing sequence")
+        shard = shard.map(
+            lambda rows: pack_utterances(rows, sysprompt_encoder),
+            batched=True,
+            batch_size=cfg.packing.window_size,
+            num_proc=num_proc,
+            remove_columns=shard.column_names,
+        )
+    return shard
 
 
 def main(argv=None):
@@ -181,60 +226,29 @@ def main(argv=None):
     parser.add_argument("--num-proc", type=int, default=NUM_PROC)
     args = parser.parse_args(argv)
 
-    with open(args.config) as f:
-        dataset_config = PipelineConfig(**json.load(f))
-
-    from datasets import DatasetDict, concatenate_datasets, load_dataset, load_from_disk
-
-    if dataset_config.dataset_path:
-        dataset = load_from_disk(dataset_config.dataset_path)
-    elif dataset_config.dataset_id:
-        dataset = load_dataset(dataset_config.dataset_id)
-    else:
-        raise ValueError("Neither dataset_id nor dataset_path specified in config!")
+    cfg = PipelineConfig(**json.loads(Path(args.config).read_text()))
+    dataset = _open_dataset(cfg)
     print("Loaded dataset")
 
-    if "text" in dataset["train"].column_names:
-        dataset = dataset.rename_column("text", "text_normalized")
-    if "speaker" in dataset["train"].column_names:
-        dataset = dataset.rename_column("speaker", "speaker_id")
-
-    tokenizer = _load_tokenizer(dataset_config.tokenization.tokenizer_path)
     prompt_encoder = PipelinePromptEncoder(
-        tokenizer,
-        TokenizationConfig(duplicate_code_0=dataset_config.tokenization.duplicate_code_0),
+        _load_tokenizer(cfg.tokenization.tokenizer_path),
+        TokenizationConfig(duplicate_code_0=cfg.tokenization.duplicate_code_0),
     )
-    sysprompt_encoder = SyspromptEncoder(dataset_config, prompt_encoder)
+    sysprompt_encoder = SyspromptEncoder(cfg, prompt_encoder)
+
+    from datasets import DatasetDict, concatenate_datasets
 
     n_shards = args.shards or 1
-    max_frames = dataset_config.audio.frame_rate * dataset_config.audio.max_sample_secs
-    completed = []
-    for i in range(n_shards):
-        shard = dataset["train"].shard(n_shards, i)
-        print(f"Filtering rows above {dataset_config.audio.max_sample_secs}s")
-        shard = shard.filter(
-            lambda row: np.asarray(row["codes"]).shape[-1] <= max_frames,
-            num_proc=args.num_proc,
+    done = [
+        _process_shard(
+            dataset["train"].shard(n_shards, i), cfg, prompt_encoder,
+            sysprompt_encoder, args.num_proc,
         )
-        print("Tokenizing dataset")
-        shard = shard.map(
-            lambda row: tts_tokenize_row(row, prompt_encoder, dataset_config),
-            remove_columns="codes",
-            num_proc=args.num_proc,
-        )
-        if dataset_config.packing is not None:
-            print("Packing sequence")
-            shard = shard.map(
-                lambda rows: pack_utterances(rows, sysprompt_encoder),
-                batched=True,
-                batch_size=dataset_config.packing.window_size,
-                num_proc=args.num_proc,
-                remove_columns=shard.column_names,
-            )
-        completed.append(shard)
-
-    out = DatasetDict({"train": concatenate_datasets(completed)})
-    out.save_to_disk(args.out_path, max_shard_size="5GB")
+        for i in range(n_shards)
+    ]
+    DatasetDict({"train": concatenate_datasets(done)}).save_to_disk(
+        args.out_path, max_shard_size="5GB"
+    )
 
 
 if __name__ == "__main__":

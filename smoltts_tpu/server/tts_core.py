@@ -1,89 +1,92 @@
-"""TTS core: generation + transcoding behind the HTTP routes.
+"""Audio transcoding + model glue behind the HTTP routes.
 
-Semantics per the reference TTSCore (mlx .../server/tts_core.py:15-84):
-voice resolution, blocking generate -> formatted bytes (raw 16-bit PCM, WAV;
-MP3 requires pydub and 501s when unavailable), scipy resampling when the
-requested rate differs from 24 kHz, and a raw-PCM16 streaming generator.
+Capability parity with the reference server core
+(mlx_inference/src/smoltts_mlx/server/tts_core.py:15-84): blocking generation
+to pcm/wav/mp3 at a requested sample rate, and raw-PCM16 streaming. The
+implementation differs: transcoding is a table of pure functions over float32
+PCM, resampling prefers the native C sinc resampler, and MP3 is produced by
+this repo's own numpy MPEG encoder (smoltts_tpu/io/mpeg.py) instead of pydub.
+
+Format strings follow the ElevenLabs convention ``<codec>_<rate>[_<kbps>]``,
+e.g. ``pcm_24000``, ``wav_16000``, ``mp3_44100_128``.
 """
 
 from __future__ import annotations
 
-import io
-import time
 from typing import Iterator, Tuple, Union
 
 import numpy as np
 
 from smoltts_tpu.io.wav import pcm_to_int16, pcm_to_wav_bytes
 
+NATIVE_RATE = 24_000
 
-def _resample(pcm: np.ndarray, in_rate: int, out_rate: int) -> np.ndarray:
-    """Native windowed-sinc resampler; scipy FFT resample as fallback
-    (the reference's path, tts_core.py:56-58)."""
+
+def resample_pcm(pcm: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Sample-rate conversion: native windowed-sinc when the C extension is
+    built, scipy FFT resample otherwise (the reference's approach)."""
+    if rate_in == rate_out or pcm.size == 0:
+        return pcm
     try:
         from smoltts_tpu.native.audio_io import native_audio_available, resample
 
         if native_audio_available():
-            return resample(pcm, in_rate, out_rate)
+            return resample(pcm, rate_in, rate_out)
     except Exception:
         pass
     from scipy import signal
 
-    return signal.resample(pcm, int(len(pcm) * out_rate / in_rate))
+    return signal.resample(pcm, int(len(pcm) * rate_out / rate_in))
+
+
+def _as_pcm(pcm: np.ndarray, rate: int, _spec: Tuple[str, ...]) -> Tuple[bytes, str]:
+    return pcm_to_int16(pcm).tobytes(), "audio/x-pcm"
+
+
+def _as_wav(pcm: np.ndarray, rate: int, _spec: Tuple[str, ...]) -> Tuple[bytes, str]:
+    return pcm_to_wav_bytes(pcm, sample_rate=rate), "audio/wav"
+
+
+def _as_mp3(pcm: np.ndarray, rate: int, spec: Tuple[str, ...]) -> Tuple[bytes, str]:
+    try:
+        from smoltts_tpu.io.mpeg import encode_mpeg_audio
+    except ImportError as e:  # pragma: no cover - encoder ships with the repo
+        raise NotImplementedError(f"mpeg transcoding unavailable: {e}")
+    kbps = int(spec[2]) if len(spec) > 2 else 128
+    return encode_mpeg_audio(pcm, rate, bitrate_kbps=kbps), "audio/mpeg"
+
+
+_TRANSCODERS = {"pcm": _as_pcm, "wav": _as_wav, "mp3": _as_mp3}
+
+
+def transcode(pcm: np.ndarray, output_format: str) -> Tuple[bytes, str]:
+    """float32 PCM @ 24 kHz -> (encoded bytes, media type) per format spec."""
+    spec = tuple(output_format.split("_"))
+    encode = _TRANSCODERS.get(spec[0])
+    if encode is None or len(spec) < 2:
+        raise NotImplementedError(f"Format {output_format} not yet supported")
+    rate = int(spec[1])
+    mono = resample_pcm(np.asarray(pcm, np.float32).reshape(-1), NATIVE_RATE, rate)
+    return encode(mono, rate, spec)
 
 
 class TTSCore:
+    """Binds a loaded SmolTTS model to the transcoding table for the routes."""
+
     def __init__(self, model, settings=None):
         self.model = model
         self.settings = settings
 
-    def resolve_speaker_id(self, voice: Union[str, int]) -> int:
-        if isinstance(voice, int):
-            return voice
-        if isinstance(voice, str) and voice.isnumeric():
-            return int(voice)
-        return 0
-
     def generate_audio(
-        self, input_text: str, voice: Union[str, int], response_format: str = "wav_24000"
+        self,
+        input_text: str,
+        voice: Union[str, int],
+        response_format: str = "wav_24000",
     ) -> Tuple[bytes, str]:
         pcm = self.model(input_text, str(voice))
-        t0 = time.time()
-        out = self.format_audio_chunk(np.asarray(pcm).flatten(), response_format or "pcm_24000")
-        print(f"Took {time.time() - t0:.2f}s to transcode")
-        return out
+        return transcode(pcm, response_format or "pcm_24000")
 
     def stream_audio(self, input_text: str, voice: Union[str, int]) -> Iterator[bytes]:
-        for pcm_chunk in self.model.stream(input_text, str(voice)):
-            if pcm_chunk is not None:
-                yield pcm_to_int16(pcm_chunk).tobytes()
-
-    def format_audio_chunk(
-        self, pcm_data: np.ndarray, output_format: str = "pcm_24000"
-    ) -> Tuple[bytes, str]:
-        sample_rate = int(output_format.split("_")[1])
-        pcm_data = np.asarray(pcm_data, np.float32).flatten()
-
-        if sample_rate != 24_000 and pcm_data.size:
-            pcm_data = _resample(pcm_data, 24_000, sample_rate)
-
-        if output_format.startswith("pcm_"):
-            return pcm_to_int16(pcm_data).tobytes(), "audio/x-pcm"
-        if output_format.startswith("wav_"):
-            return pcm_to_wav_bytes(pcm_data, sample_rate=sample_rate), "audio/wav"
-        if output_format.startswith("mp3_"):
-            try:
-                from pydub import AudioSegment  # type: ignore
-            except ImportError as e:
-                raise NotImplementedError(f"mp3 transcoding unavailable: {e}")
-            bitrate = output_format.split("_")[-1]
-            seg = AudioSegment(
-                data=pcm_to_int16(pcm_data).tobytes(),
-                sample_width=2,
-                frame_rate=sample_rate,
-                channels=1,
-            )
-            buf = io.BytesIO()
-            seg.export(buf, format="mp3", bitrate=f"{bitrate}k")
-            return buf.getvalue(), "audio/mpeg"
-        raise NotImplementedError(f"Format {output_format} not yet supported")
+        for chunk in self.model.stream(input_text, str(voice)):
+            if chunk is not None:
+                yield pcm_to_int16(chunk).tobytes()
