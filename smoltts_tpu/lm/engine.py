@@ -65,6 +65,7 @@ class DecodeEngine:
         prompt_bucket: int = 64,
         mimi_params=None,
         mimi_cfg=None,
+        attend_buckets: Optional[List[int]] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -74,6 +75,27 @@ class DecodeEngine:
         self.S = max_seq_len or cfg.max_seq_len
         self.prompt_bucket = prompt_bucket
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        # Length bucketing: the frame step compiles once per attend bucket and
+        # the engine dispatches the smallest bucket covering every LIVE
+        # position — early in generation the KV reads (the bandwidth-bound
+        # cost of the step, lm/decode.py:_decode_trunk_tailed) touch e.g. 256
+        # slots instead of the full S. Exactness is pinned by
+        # tests/test_decode.py::test_attend_limit_bucketing_is_exact and the
+        # engine-level test in tests/test_engine.py.
+        if attend_buckets is None:
+            attend_buckets, b = [], 256
+            while b < self.S:
+                attend_buckets.append(b)
+                b *= 2
+        self.attend_buckets = sorted(
+            {min(int(b), self.S) for b in attend_buckets} | {self.S}
+        )
+        # Host mirror of each slot's cache position (== device state.pos for
+        # live slots; freed slots are ignored). Admission seeds it with the
+        # TRUE prompt length; every decoded frame advances it by 1.
+        self._slot_pos = np.zeros((num_slots,), np.int64)
+        self.last_attend_limit: Optional[int] = None
 
         self.state = init_decode_state(cfg, num_slots, self.S, dtype=kv_dtype)
         # All slots start finished (idle).
@@ -98,13 +120,15 @@ class DecodeEngine:
 
             self.mimi_state = decode_stream_init(mimi_cfg, num_slots, dtype=kv_dtype)
 
-            def decode_vocode(params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng):
+            def decode_vocode(params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng, attend_limit):
                 from smoltts_tpu.codec.mimi import mimi_decode_step
                 from smoltts_tpu.lm.pipeline import _merge_lm, _merge_mimi, _split_lm, _split_mimi
 
                 state = _merge_lm(lm_k, lm_v, rest)
                 mstate = _merge_mimi(ring_k, ring_v, mrest)
-                state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
+                state, out = decode_frame(
+                    params, cfg, token_cfg, settings, state, rng, attend_limit=attend_limit
+                )
                 mstate, pcm = mimi_decode_step(
                     mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
                 )
@@ -112,29 +136,35 @@ class DecodeEngine:
                 _, _, mrest = _split_mimi(mstate)
                 return rest, mrest, out, pcm
 
-            _decode_vocode_jit = jax.jit(decode_vocode)
+            _decode_vocode_jit = jax.jit(decode_vocode, static_argnames=("attend_limit",))
 
-            def decode_vocode_wrapped(params, mimi_params, state, mstate, rng):
+            def decode_vocode_wrapped(params, mimi_params, state, mstate, rng, attend_limit):
                 from smoltts_tpu.lm.pipeline import _merge_lm, _merge_mimi, _split_lm, _split_mimi
 
                 lm_k, lm_v, rest = _split_lm(state)
                 ring_k, ring_v, mrest = _split_mimi(mstate)
                 rest, mrest, out, pcm = _decode_vocode_jit(
-                    params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng
+                    params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng,
+                    attend_limit=attend_limit,
                 )
                 return _merge_lm(lm_k, lm_v, rest), _merge_mimi(ring_k, ring_v, mrest), out, pcm
 
             self._decode_vocode = decode_vocode_wrapped
 
-        def decode_only(params, lm_k, lm_v, rest, rng):
+        def decode_only(params, lm_k, lm_v, rest, rng, attend_limit):
             state = rest._replace(k=lm_k, v=lm_v)
-            state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
+            state, out = decode_frame(
+                params, cfg, token_cfg, settings, state, rng, attend_limit=attend_limit
+            )
             return state._replace(k=None, v=None), out
 
-        _decode_jit = jax.jit(decode_only)
+        _decode_jit = jax.jit(decode_only, static_argnames=("attend_limit",))
 
-        def decode_wrapped(params, state, rng):
-            rest, out = _decode_jit(params, state.k, state.v, state._replace(k=None, v=None), rng)
+        def decode_wrapped(params, state, rng, attend_limit):
+            rest, out = _decode_jit(
+                params, state.k, state.v, state._replace(k=None, v=None), rng,
+                attend_limit=attend_limit,
+            )
             return rest._replace(k=state.k, v=state.v), out
 
         self._decode = decode_wrapped
@@ -240,6 +270,7 @@ class DecodeEngine:
                 self.mimi_state = reset_stream_slots(
                     self.mimi_state, jnp.asarray(slots, jnp.int32)
                 )
+            self._slot_pos[slots] = lens  # true lengths: reads past pos are masked
             self.rng, sub = jax.random.split(self.rng)
             admit = self._admit_fn(n, prompt.shape[-1])
             self.state, out = admit(
@@ -309,14 +340,23 @@ class DecodeEngine:
                 self.state, self.mimi_state = self._flush(self.state, self.mimi_state)
                 self._since_flush = 0
             self.rng, sub = jax.random.split(self.rng)
+            # Smallest compiled bucket covering every live position (each step
+            # attends positions < pos plus the current token): freed slots'
+            # device positions keep advancing but their output is masked, so
+            # they don't hold the bucket up.
+            needed = int(max(self._slot_pos[slot] for slot, _ in live_slots)) + 1
+            lim = next(b for b in self.attend_buckets if b >= min(needed, self.S))
+            self.last_attend_limit = lim
             pcm = None
             if self.mimi_state is not None:
                 self.state, self.mimi_state, out, pcm = self._decode_vocode(
-                    self.params, self.mimi_params, self.state, self.mimi_state, sub
+                    self.params, self.mimi_params, self.state, self.mimi_state, sub, lim
                 )
                 pcm = np.asarray(pcm)
             else:
-                self.state, out = self._decode(self.params, self.state, sub)
+                self.state, out = self._decode(self.params, self.state, sub, lim)
+            for slot, _ in live_slots:
+                self._slot_pos[slot] += 1
             self._since_flush += 1
             codes = np.asarray(out.audio_codes)
             is_audio = np.asarray(out.is_audio)

@@ -38,6 +38,79 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+_DISTRIBUTED = False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the multi-process JAX runtime (jax.distributed) — the DCN
+    entry the reference never needed (single-GPU; SURVEY.md §2.2/§2.7 item 1).
+
+    On TPU pod slices all arguments come from the TPU metadata environment, so
+    call with no args; explicit args drive the CPU multi-process tests
+    (tests/test_multihost.py launches 2 processes x 4 virtual devices over a
+    local coordinator). Idempotent within a process."""
+    global _DISTRIBUTED
+    if _DISTRIBUTED:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED = True
+
+
+def make_multihost_mesh(n_model: int = 1) -> Mesh:
+    """DCN-aware mesh: the model axis stays inside one process's ICI domain;
+    the data axis runs processes outermost, so DP grad all-reduces are the
+    only collectives that ride DCN (the standard pod-slice recipe)."""
+    nproc = jax.process_count()
+    if nproc == 1:
+        return make_mesh(-1, n_model)
+    local = jax.local_device_count()
+    if local % n_model != 0:
+        raise ValueError(
+            f"model axis {n_model} must divide the {local} local devices: "
+            "TP collectives must not cross DCN"
+        )
+    try:
+        from jax.experimental import mesh_utils
+
+        # Each process is a DCN granule: data outermost across processes,
+        # model within a process (works on single-slice pods and CPU tests;
+        # multi-slice topologies fall through to slice_index granules).
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(local // n_model, n_model),
+            dcn_mesh_shape=(nproc, 1),
+            process_is_granule=True,
+        )
+    except ValueError:
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        arr = np.asarray(devs).reshape(len(devs) // n_model, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_global_batch(batch: dict, sharding: NamedSharding) -> dict:
+    """Assemble per-process batch dicts into global arrays.
+
+    Single-process: a plain device_put. Multihost: each process contributes
+    its local slice of the data axis (train/data.py:batch_iterator already
+    reads disjoint per-process slices)."""
+    if jax.process_count() == 1:
+        return {k: jax.device_put(np.asarray(v), sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 def param_partition_specs(params: dict) -> dict:
     """PartitionSpec pytree for a DualAR param pytree (models/dual_ar.py).
 

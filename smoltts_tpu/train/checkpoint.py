@@ -62,7 +62,12 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": np.asarray(step),
         }
+        # Orbax save is a collective in multihost runs: every process calls
+        # it (each writes its addressable shards); host-side bookkeeping
+        # (config file, GC) stays on process 0.
         _checkpointer().save((path / "state").absolute(), ckpt, force=True)
+        if jax.process_index() != 0:
+            return
         config = config or self.config
         if config is not None:
             with open(path / "config.json", "w") as f:
@@ -96,7 +101,22 @@ class CheckpointManager:
         restore_args = {}
         if abstract_state is not None:
             restore_args["item"] = abstract_state
-        ckpt = _checkpointer().restore((path / "state").absolute(), **restore_args)
+        try:
+            ckpt = _checkpointer().restore((path / "state").absolute(), **restore_args)
+        except ValueError:
+            # Checkpoints written by a multihost run store sharded jax.Arrays;
+            # without target shardings Orbax needs an explicit host-numpy
+            # restore type (the caller re-shards via device_put afterwards).
+            import orbax.checkpoint as ocp
+
+            meta = _checkpointer().metadata((path / "state").absolute())
+            args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                meta.item_metadata,
+            )
+            ckpt = _checkpointer().restore(
+                (path / "state").absolute(), restore_args=args
+            )
         step = int(np.asarray(ckpt["step"]))
 
         reinit = False

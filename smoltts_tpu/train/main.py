@@ -28,7 +28,13 @@ from smoltts_tpu.config import ModelType
 from smoltts_tpu.train.checkpoint import CheckpointManager
 from smoltts_tpu.train.data import batch_iterator, load_splits
 from smoltts_tpu.train.trainer import TrainState, init_train_state, train_loop
-from smoltts_tpu.parallel.mesh import make_mesh, param_shardings
+from smoltts_tpu.parallel.mesh import (
+    init_distributed,
+    make_global_batch,
+    make_mesh,
+    make_multihost_mesh,
+    param_shardings,
+)
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -59,7 +65,16 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--max-steps", type=int, default=None)
+    # Multihost (jax.distributed): --multihost alone auto-detects on TPU pod
+    # slices; the explicit flags drive CPU multi-process runs/tests.
+    parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.multihost or args.coordinator is not None:
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     config = load_training_config(args.config)
     model_cfg = DualARConfig.from_json_file(config.init_folder)
@@ -68,7 +83,10 @@ def main(argv: Optional[list] = None):
 
     train_ds, val_ds = load_splits(config.dataset_path)
 
-    mesh = make_mesh(config.mesh_data_axis, config.mesh_model_axis)
+    if jax.process_count() > 1:
+        mesh = make_multihost_mesh(config.mesh_model_axis)
+    else:
+        mesh = make_mesh(config.mesh_data_axis, config.mesh_model_axis)
     dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
 
     if config.use_pretrained:
@@ -124,7 +142,7 @@ def main(argv: Optional[list] = None):
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         ):
-            yield {k: jax.device_put(jnp.asarray(v), batch_sh) for k, v in b.items()}
+            yield make_global_batch(b, batch_sh)
 
     def val_batches():
         it = batch_iterator(
@@ -137,10 +155,11 @@ def main(argv: Optional[list] = None):
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
+        val_sh = NamedSharding(mesh, P("data"))
         for i, b in enumerate(it):
             if i >= 16:
                 break
-            yield {k: jnp.asarray(v) for k, v in b.items()}
+            yield make_global_batch(b, val_sh)
 
     train_loop(
         model_cfg,

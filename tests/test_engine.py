@@ -114,3 +114,74 @@ def test_engine_loop_thread():
         assert frames[-1]["finished"]
     finally:
         loop.stop()
+
+
+def test_attend_bucket_switching_is_exact():
+    """The engine with tiny attend buckets must (a) walk through the buckets
+    as live positions grow / shrink back on release, and (b) produce exactly
+    the frames of an unbucketed engine (greedy)."""
+    cfg, token_cfg, params = setup()
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=12)
+
+    def run(buckets):
+        engine = DecodeEngine(
+            params, cfg, token_cfg, settings, num_slots=2, max_seq_len=64,
+            kv_dtype=jnp.float32, prompt_bucket=4, attend_buckets=buckets,
+        )
+        sids = [
+            engine.submit(audio_prompt(cfg, token_cfg, 4, 1)),           # short
+            engine.submit(audio_prompt(cfg, token_cfg, 20, 2), 16),      # long prompt
+        ]
+        out = {sid: [] for sid in sids}
+        limits = []
+        for _ in range(40):
+            for sid, f in engine.step():
+                out[sid].append(f["audio_codes"])
+            if engine.last_attend_limit is not None:
+                limits.append(engine.last_attend_limit)
+            if not engine.has_work():
+                break
+        return out, limits, sids
+
+    ref, ref_limits, _ = run([64])
+    got, limits, _ = run([8, 16, 32])
+    assert set(ref_limits) == {64}
+    # long stream: prompt 20 -> starts in bucket 32; crossing 32 positions
+    # bumps to 64 (the implicit S bucket)
+    assert limits[0] == 32 and 64 in limits
+    for (rs, rf), (gs, gf) in zip(sorted(ref.items()), sorted(got.items())):
+        assert len(rf) == len(gf)
+        for a, b in zip(rf, gf):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_attend_bucket_with_vocoder():
+    """Bucketed engine with the fused vocoder attached still streams PCM."""
+    from smoltts_tpu.codec.config import MimiConfig
+    from smoltts_tpu.codec.mimi import init_mimi_params
+
+    cfg, token_cfg, params = setup()
+    mimi_cfg = MimiConfig(
+        num_filters=8, upsampling_ratios=[4, 3, 2], hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, head_dim=16,
+        intermediate_size=64, codebook_size=CB, codebook_dim=16,
+        num_quantizers=8, upsample_groups=32, frame_rate=500.0,
+    )
+    mimi_params = init_mimi_params(mimi_cfg, seed=0)
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=6)
+    engine = DecodeEngine(
+        params, cfg, token_cfg, settings, num_slots=2, max_seq_len=64,
+        kv_dtype=jnp.float32, prompt_bucket=4, attend_buckets=[16],
+        mimi_params=mimi_params, mimi_cfg=mimi_cfg,
+    )
+    sid = engine.submit(audio_prompt(cfg, token_cfg, 5, 7))
+    pcm_frames = []
+    for _ in range(10):
+        for _sid, f in engine.step():
+            assert _sid == sid
+            assert "pcm" in f and f["pcm"].ndim == 1
+            pcm_frames.append(f["pcm"])
+        if not engine.has_work():
+            break
+    assert len(pcm_frames) == 6
+    assert engine.last_attend_limit in (16, 64)
