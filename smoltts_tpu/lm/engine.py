@@ -16,6 +16,7 @@ per-stream queues.
 
 from __future__ import annotations
 
+import collections
 import itertools
 import queue
 import threading
@@ -66,6 +67,7 @@ class DecodeEngine:
         mimi_params=None,
         mimi_cfg=None,
         attend_buckets: Optional[List[int]] = None,
+        inflight: int = 2,
     ):
         self.params = params
         self.cfg = cfg
@@ -96,6 +98,16 @@ class DecodeEngine:
         # TRUE prompt length; every decoded frame advances it by 1.
         self._slot_pos = np.zeros((num_slots,), np.int64)
         self.last_attend_limit: Optional[int] = None
+
+        # In-flight step pipeline: dispatched device steps whose outputs have
+        # not been fetched yet. Fetching every frame synchronously costs one
+        # host<->device round trip per frame (~35 ms on a tunneled runtime vs
+        # ~0.4 ms pipelined dispatch — measured), so the engine materializes
+        # results `inflight` steps behind dispatch. Bookkeeping (eviction,
+        # slot reuse, queue fan-out) lags by the same bound; frames fetched
+        # for already-released streams are dropped.
+        self.inflight = max(0, int(inflight))
+        self._queue: "collections.deque" = collections.deque()
 
         self.state = init_decode_state(cfg, num_slots, self.S, dtype=kv_dtype)
         # All slots start finished (idle).
@@ -250,9 +262,9 @@ class DecodeEngine:
             self._admit_vocode_cache[n_new] = jax.jit(fn)
         return self._admit_vocode_cache[n_new]
 
-    def _admit_pending(self) -> List[Tuple[int, dict]]:
-        """Prefill queued prompts into free slots; returns their first frames."""
-        emitted = []
+    def _admit_pending(self) -> None:
+        """Prefill queued prompts into free slots; enqueue their first frames
+        (fetched later by the in-flight pipeline)."""
         while self._pending and self._free:
             n = min(len(self._pending), len(self._free))
             batch = [self._pending.pop(0) for _ in range(n)]
@@ -290,31 +302,42 @@ class DecodeEngine:
                     jnp.asarray(slots, jnp.int32),
                     out.audio_codes,
                 )
-                pcm0 = np.asarray(pcm0)
-            out_np = {
-                "audio_codes": np.asarray(out.audio_codes),
-                "is_audio": np.asarray(out.is_audio),
-                "finished": np.asarray(out.finished),
-            }
-            for i, (sid, _) in enumerate(batch):
-                frame = {
-                    "audio_codes": out_np["audio_codes"][i],
-                    "is_audio": bool(out_np["is_audio"][i]),
-                    "finished": bool(out_np["finished"][i]),
-                }
-                if pcm0 is not None:
-                    frame["pcm"] = pcm0[i, :, 0]
-                emitted.append((sid, frame))
-        return emitted
+            # (row index in out) -> stream id, in submission order
+            self._queue.append((out, pcm0, [(i, sid) for i, (sid, _) in enumerate(batch)]))
 
-    def _bookkeep(self, sid: int, frame: dict) -> dict:
-        h = self._streams[sid]
+    def _bookkeep(self, sid: int, frame: dict) -> Optional[dict]:
+        """Account one fetched frame; None = drop (stream already released —
+        the device ran ahead of the host's lagged eviction)."""
+        h = self._streams.get(sid)
+        if h is None or h.done:
+            return None
         h.frames_emitted += 1
         if frame["finished"] or h.frames_emitted >= h.max_frames:
             h.done = True
             frame["finished"] = True
             self._release(sid)
         return frame
+
+    def _materialize(self, record) -> List[Tuple[int, dict]]:
+        """Fetch one dispatched step's outputs (a single device round trip)
+        and run the lagged bookkeeping."""
+        out, pcm, rows = record
+        codes, is_audio, fin, pcm = jax.device_get(
+            (out.audio_codes, out.is_audio, out.finished, pcm)
+        )
+        emitted = []
+        for row, sid in rows:
+            frame = {
+                "audio_codes": codes[row],
+                "is_audio": bool(is_audio[row]),
+                "finished": bool(fin[row]),
+            }
+            if pcm is not None:
+                frame["pcm"] = pcm[row, :, 0]
+            frame = self._bookkeep(sid, frame)
+            if frame is not None:
+                emitted.append((sid, frame))
+        return emitted
 
     def _release(self, sid: int):
         h = self._streams.pop(sid, None)
@@ -328,11 +351,12 @@ class DecodeEngine:
         )
 
     def step(self) -> List[Tuple[int, dict]]:
-        """Admit pending streams, decode one frame for all live slots.
+        """Admit pending streams, dispatch one frame for all live slots, and
+        return the frames whose (lagged) fetch completed this call.
 
         Returns [(stream_id, {audio_codes [ncb], is_audio, finished})].
         """
-        emitted = [(sid, self._bookkeep(sid, f)) for sid, f in self._admit_pending()]
+        self._admit_pending()
 
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
@@ -352,28 +376,26 @@ class DecodeEngine:
                 self.state, self.mimi_state, out, pcm = self._decode_vocode(
                     self.params, self.mimi_params, self.state, self.mimi_state, sub, lim
                 )
-                pcm = np.asarray(pcm)
             else:
                 self.state, out = self._decode(self.params, self.state, sub, lim)
             for slot, _ in live_slots:
                 self._slot_pos[slot] += 1
             self._since_flush += 1
-            codes = np.asarray(out.audio_codes)
-            is_audio = np.asarray(out.is_audio)
-            fin = np.asarray(out.finished)
-            for slot, sid in live_slots:
-                frame = {
-                    "audio_codes": codes[slot],
-                    "is_audio": bool(is_audio[slot]),
-                    "finished": bool(fin[slot]),
-                }
-                if pcm is not None:
-                    frame["pcm"] = pcm[slot, :, 0]
-                emitted.append((sid, self._bookkeep(sid, frame)))
+            self._queue.append((out, pcm, [(s, sid) for s, sid in live_slots]))
+
+        # Drain fetched results, staying `inflight` dispatches behind; once
+        # nothing new can be dispatched, drain fully.
+        emitted: List[Tuple[int, dict]] = []
+        target = self.inflight if (self._pending or self._slot_to_stream) else 0
+        while len(self._queue) > target:
+            emitted.extend(self._materialize(self._queue.popleft()))
+            # Releases may have freed slots for queued prompts; they are
+            # admitted on the next step() call.
+            target = self.inflight if (self._pending or self._slot_to_stream) else 0
         return emitted
 
     def has_work(self) -> bool:
-        return bool(self._pending or self._slot_to_stream)
+        return bool(self._pending or self._slot_to_stream or self._queue)
 
 
 class EngineLoop:

@@ -22,16 +22,20 @@ _NO_DECAY_LEAVES = {
     "ffn_norm",
     "norm",
     "fast_norm",
-    "embeddings",
-    "codebook_embeddings",
-    "fast_embeddings",
     "wqkv_bias",
     "bias",
 }
 
 
 def decay_mask(params) -> dict:
-    """True where weight decay applies (mirrors partition_params, optim.py:8-22)."""
+    """True where weight decay applies (mirrors partition_params, optim.py:8-22).
+
+    Matches the reference's EFFECTIVE partition: only biases and norm weights
+    are exempt. Its ".embeddings." pattern (train/optim.py:15) never matches
+    the model's actual parameter names (`embeddings.weight` has no leading
+    dot), so embedding tables ARE decayed upstream — pinned end-to-end by
+    tests/test_training_trajectory.py.
+    """
 
     def walk(tree, name):
         if isinstance(tree, dict):

@@ -53,8 +53,11 @@ def make_hf_byte_tokenizer(codebook_size: int = 2048):
 
 
 def torch_state_to_numpy(model) -> dict:
+    # .copy(): .numpy() aliases the torch storage (for fp32 .float() is a
+    # no-op view), and an aliased oracle corrupts imported params the moment
+    # the torch model trains in place.
     return {
-        k: v.detach().to("cpu").to_dense().float().numpy()
+        k: v.detach().to("cpu").to_dense().float().numpy().copy()
         for k, v in model.state_dict().items()
     }
 

@@ -71,8 +71,10 @@ def test_decay_mask_partition():
     mask = decay_mask(params)
     assert mask["layers"]["wqkv"] is True
     assert mask["layers"]["attention_norm"] is False
-    assert mask["embeddings"] is False
-    assert mask["fast_embeddings"] is False
+    # Embedding tables ARE decayed — the reference's ".embeddings." exemption
+    # never matches its real parameter names (see optim.decay_mask docstring).
+    assert mask["embeddings"] is True
+    assert mask["fast_embeddings"] is True
     assert mask["norm"] is False
     assert mask["fast_output"] is True
 
