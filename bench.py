@@ -68,13 +68,16 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     mimi_params = init_mimi_params(mimi_cfg, dtype=jnp.bfloat16)
 
-    # BENCH_INT8=1: int8 weight-only decode (ops/quant.py) — halves the
-    # per-frame HBM weight traffic of the LM trunks + heads.
-    quantized = os.environ.get("BENCH_INT8") == "1"
+    # int8 weight-only decode is the DEFENDED configuration (BENCH_INT8=0
+    # opts out): LM trunks + heads and the codec transformers run int8
+    # (ops/quant.py), halving the per-frame HBM weight traffic. Quality is
+    # gated by tests/test_int8_gate.py (CE delta, token KL, vocoder SNR).
+    quantized = os.environ.get("BENCH_INT8", "1") != "0"
     if quantized:
-        from smoltts_tpu.ops.quant import quantize_decode_params
+        from smoltts_tpu.ops.quant import quantize_decode_params, quantize_mimi_params
 
         params = quantize_decode_params(params)
+        mimi_params = quantize_mimi_params(mimi_params)
 
     B = N_STREAMS
     rng = np.random.default_rng(0)
@@ -190,10 +193,13 @@ def main():
     # staggered-admission churn run at full concurrency.
     from smoltts_tpu.lm.engine import DecodeEngine
 
+    # fetch_every=8 batches result fetches: one host<->device round trip per
+    # 8 frames (the tunnel RTT otherwise caps the engine at ~1/RTT steps/s).
     engine = DecodeEngine(
         params, cfg, token_cfg, settings,
         num_slots=B, max_seq_len=S, kv_dtype=jnp.bfloat16,
         prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
+        inflight=2, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "8")),
     )
     run_served(engine, B, wave=8, admit_every=1, frames_per_stream=4)
     served_tp, served_p50, served_p95 = run_served(engine, B)

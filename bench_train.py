@@ -69,6 +69,21 @@ def main():
     dt = (time.perf_counter() - t0) / STEPS
 
     tokens_per_step = BATCH * SEQ
+    # MFU via the standard 6*N*D rule (fwd 2ND + bwd 4ND; rematerialization
+    # adds ~2ND more but is excluded, so this is the conservative "model
+    # FLOPs" number). N counts matmul-participating params (tables excluded).
+    n_matmul = sum(
+        int(np.prod(p.shape))
+        for name, p in [
+            *[(k, v) for k, v in params["layers"].items()],
+            *[(k, v) for k, v in params["fast_layers"].items()],
+            ("fast_output", params["fast_output"]),
+            ("embeddings", params["embeddings"]),  # tied head matmul
+        ]
+        if "norm" not in name
+    )
+    peak = 197e12 if jax.devices()[0].platform == "tpu" else float("nan")
+    mfu = (6.0 * n_matmul * tokens_per_step / dt) / peak
     print(
         json.dumps(
             {
@@ -80,6 +95,8 @@ def main():
                     "batch": BATCH,
                     "seq": SEQ,
                     "loss": round(loss, 3),
+                    "mfu_6nd_vs_v5e_bf16_peak": round(mfu, 4),
+                    "matmul_params": n_matmul,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -57,6 +57,10 @@ class SmolTTS:
         from smoltts_tpu.lm.prompt import PromptEncoder
         from smoltts_tpu.lm.samplers import GenerationSettings
 
+        if quantize not in (None, "int8"):
+            # Validate before the (potentially multi-GB) checkpoint load.
+            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
+
         checkpoint_dir = Path(checkpoint_dir)
         self.config = DualARConfig.from_json_file(checkpoint_dir / "config.json")
         self.tokenizer = load_tokenizer(checkpoint_dir)
@@ -69,8 +73,6 @@ class SmolTTS:
             from smoltts_tpu.ops.quant import quantize_decode_params
 
             self.params = quantize_decode_params(self.params)
-        elif quantize is not None:
-            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
         self.prompt_encoder = PromptEncoder.from_config(
             self.tokenizer, self.config, self.token_config, self.model_type
         )

@@ -68,6 +68,7 @@ class DecodeEngine:
         mimi_cfg=None,
         attend_buckets: Optional[List[int]] = None,
         inflight: int = 2,
+        fetch_every: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -106,7 +107,13 @@ class DecodeEngine:
         # results `inflight` steps behind dispatch. Bookkeeping (eviction,
         # slot reuse, queue fan-out) lags by the same bound; frames fetched
         # for already-released streams are dropped.
+        # fetch_every batches K due records into ONE device fetch: on
+        # high-RTT links (tunneled runtimes) per-frame fetches cap the whole
+        # engine at ~1/RTT steps/s; batched fetches amortize the round trip
+        # while `inflight + fetch_every` dispatched steps keep the device
+        # busy through it. Emission latency grows by <= fetch_every frames.
         self.inflight = max(0, int(inflight))
+        self.fetch_every = max(1, int(fetch_every))
         self._queue: "collections.deque" = collections.deque()
 
         self.state = init_decode_state(cfg, num_slots, self.S, dtype=kv_dtype)
@@ -318,25 +325,25 @@ class DecodeEngine:
             self._release(sid)
         return frame
 
-    def _materialize(self, record) -> List[Tuple[int, dict]]:
-        """Fetch one dispatched step's outputs (a single device round trip)
-        and run the lagged bookkeeping."""
-        out, pcm, rows = record
-        codes, is_audio, fin, pcm = jax.device_get(
-            (out.audio_codes, out.is_audio, out.finished, pcm)
+    def _materialize(self, records: list) -> List[Tuple[int, dict]]:
+        """Fetch dispatched steps' outputs (ONE device round trip for the
+        whole batch) and run the lagged bookkeeping in dispatch order."""
+        fetched = jax.device_get(
+            [(r[0].audio_codes, r[0].is_audio, r[0].finished, r[1]) for r in records]
         )
         emitted = []
-        for row, sid in rows:
-            frame = {
-                "audio_codes": codes[row],
-                "is_audio": bool(is_audio[row]),
-                "finished": bool(fin[row]),
-            }
-            if pcm is not None:
-                frame["pcm"] = pcm[row, :, 0]
-            frame = self._bookkeep(sid, frame)
-            if frame is not None:
-                emitted.append((sid, frame))
+        for (codes, is_audio, fin, pcm), (_, _, rows) in zip(fetched, records):
+            for row, sid in rows:
+                frame = {
+                    "audio_codes": codes[row],
+                    "is_audio": bool(is_audio[row]),
+                    "finished": bool(fin[row]),
+                }
+                if pcm is not None:
+                    frame["pcm"] = pcm[row, :, 0]
+                frame = self._bookkeep(sid, frame)
+                if frame is not None:
+                    emitted.append((sid, frame))
         return emitted
 
     def _release(self, sid: int):
@@ -383,15 +390,19 @@ class DecodeEngine:
             self._since_flush += 1
             self._queue.append((out, pcm, [(s, sid) for s, sid in live_slots]))
 
-        # Drain fetched results, staying `inflight` dispatches behind; once
-        # nothing new can be dispatched, drain fully.
+        # Drain fetched results, staying `inflight` dispatches behind and
+        # fetching in `fetch_every` batches; once nothing new can be
+        # dispatched, drain fully. Releases during a drain may free slots for
+        # queued prompts — they are admitted on the next step() call.
         emitted: List[Tuple[int, dict]] = []
-        target = self.inflight if (self._pending or self._slot_to_stream) else 0
-        while len(self._queue) > target:
-            emitted.extend(self._materialize(self._queue.popleft()))
-            # Releases may have freed slots for queued prompts; they are
-            # admitted on the next step() call.
+        while True:
             target = self.inflight if (self._pending or self._slot_to_stream) else 0
+            due = len(self._queue) - target
+            if due <= 0 or (target > 0 and due < self.fetch_every):
+                break
+            emitted.extend(
+                self._materialize([self._queue.popleft() for _ in range(due)])
+            )
         return emitted
 
     def has_work(self) -> bool:

@@ -283,11 +283,22 @@ def fast_output_logits(
     params: DualARParams, cfg: DualARConfig, fast_out: jnp.ndarray
 ) -> jnp.ndarray:
     """fast_out: [N, max_fast_seqlen, fast_dim] -> [N, max_fast_seqlen, cb]."""
+    from smoltts_tpu.ops.quant import QTensor, mm
+
     w = params["fast_output"]
     if cfg.depthwise_output:
         # Per-position projection (DepthwiseLinear, rq_transformer.py:585-598).
-        return jnp.einsum("ijm,jmk->ijk", fast_out, w, preferred_element_type=jnp.float32).astype(fast_out.dtype)
-    return fast_out @ w
+        if isinstance(w, QTensor):
+            y = jnp.einsum(
+                "ijm,jmk->ijk", fast_out, w.q.astype(fast_out.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            # scale [n, 1, cb] broadcasts over the batch axis of [N, n, cb].
+            return (y * w.scale.transpose(1, 0, 2)).astype(fast_out.dtype)
+        return jnp.einsum(
+            "ijm,jmk->ijk", fast_out, w, preferred_element_type=jnp.float32
+        ).astype(fast_out.dtype)
+    return mm(fast_out, w)
 
 
 def forward_train(

@@ -268,9 +268,14 @@ def attention_block(
     dropout_rng: Optional[jax.Array] = None,
     norm_eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """One pre-norm attention sublayer: x + wo(attn(norm(x)))."""
+    """One pre-norm attention sublayer: x + wo(attn(norm(x))).
+
+    Projections go through ops.quant.mm so int8 QTensor params work here
+    exactly like in swiglu (dense arrays pass through as plain matmuls)."""
+    from smoltts_tpu.ops.quant import mm
+
     h = rms_norm(x, lp["attention_norm"], norm_eps)
-    qkv = h @ lp["wqkv"]
+    qkv = mm(h, lp["wqkv"])
     if "wqkv_bias" in lp:
         qkv = qkv + lp["wqkv_bias"]
     q, k, v = split_qkv(qkv, dims)
@@ -285,7 +290,7 @@ def attention_block(
         dropout_rate=dropout_rate,
         dropout_rng=dropout_rng,
     )
-    return x + att @ lp["wo"]
+    return x + mm(att, lp["wo"])
 
 
 def ffn_block(x: jnp.ndarray, lp: dict, norm_eps: float) -> jnp.ndarray:

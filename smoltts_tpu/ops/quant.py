@@ -17,7 +17,7 @@ Design:
   decode are untouched.
 - Scales are applied AFTER the dot: `(x @ q.astype(x.dtype)) * scale`.
   With a power-of-two scale this is bit-exact against `x @ (q * scale)`
-  (pinned by tests/test_ops.py::test_quant_power_of_two_exact).
+  (pinned by tests/test_ops_quant.py::test_power_of_two_exact).
 
 The reference has no quantized inference path (its MLX engine runs bf16,
 mlx_inference/src/smoltts_mlx/__init__.py:47-51); this is a TPU-native
@@ -67,6 +67,12 @@ def mm(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
     scale is applied to the (much smaller) result.
     """
     if isinstance(w, QTensor):
+        if any(d != 1 for d in w.scale.shape[:-1]):
+            raise ValueError(
+                f"mm() got a QTensor with stacked leading axes (scale shape "
+                f"{w.scale.shape}); index the layer out first (qindex/tree "
+                "slicing) so only the [1, out] per-channel scale remains"
+            )
         y = x @ w.q.astype(x.dtype)
         # scale: [..., 1, out] -> broadcast over the result's trailing [out].
         return y * w.scale.reshape(w.scale.shape[-1]).astype(y.dtype)
@@ -105,4 +111,23 @@ def quantize_decode_params(params: dict) -> dict:
         out["fast_project_in"] = fpi
     if "output" in params:
         out["output"] = quantize_q8(params["output"], contract_axis=-2)
+    return out
+
+
+_MIMI_LINEARS = ("wq", "wk", "wv", "wo", "fc1", "fc2")
+
+
+def quantize_mimi_params(params: dict) -> dict:
+    """Quantize the Mimi codec transformers' linear weights (the bulk of the
+    vocoder's per-frame weight reads: 8 layers x (4x512^2 + 2x512x2048) ~ 25M
+    params per transformer). SEANet conv kernels, RVQ codebooks, layer norms
+    and LayerScale stay dense (small, and convs don't route through mm)."""
+    out = dict(params)
+    for trunk in ("encoder_transformer", "decoder_transformer"):
+        if trunk not in params:
+            continue
+        lp = dict(params[trunk]["layers"])
+        for key in _MIMI_LINEARS:
+            lp[key] = quantize_q8(lp[key], contract_axis=-2)
+        out[trunk] = {**params[trunk], "layers": lp}
     return out

@@ -111,10 +111,18 @@ def make_global_batch(batch: dict, sharding: NamedSharding) -> dict:
     }
 
 
-def param_partition_specs(params: dict) -> dict:
+def param_partition_specs(params: dict, shard_tables: bool = False) -> dict:
     """PartitionSpec pytree for a DualAR param pytree (models/dual_ar.py).
 
     Trunk weights carry a leading stacked-layer axis (never sharded).
+
+    shard_tables: additionally row(vocab)-split the large embedding tables
+    (`codebook_embeddings`, `fast_embeddings` — ~50 MB each at 150M, the
+    biggest single tensors in the model) over `model`. GSPMD turns the
+    lookups into gathers + collectives, so this is for backbone-exceeds-HBM
+    configs; the tied text `embeddings` table (~7 MB) stays replicated.
+    Exactness under both settings is pinned by tests/test_parallel_serving.py
+    and tests/test_tp_scale.py.
     """
 
     def trunk_specs(trunk: dict) -> dict:
@@ -131,12 +139,13 @@ def param_partition_specs(params: dict) -> dict:
             specs["wqkv_bias"] = P(None, MODEL_AXIS)
         return specs
 
+    table = P(MODEL_AXIS, None) if shard_tables else P()
     specs: dict = {
         "embeddings": P(),
-        "codebook_embeddings": P(),
+        "codebook_embeddings": table,
         "layers": trunk_specs(params["layers"]),
         "norm": P(),
-        "fast_embeddings": P(),
+        "fast_embeddings": table,
         "fast_layers": trunk_specs(params["fast_layers"]),
         "fast_norm": P(),
     }
@@ -151,8 +160,8 @@ def param_partition_specs(params: dict) -> dict:
     return specs
 
 
-def param_shardings(mesh: Mesh, params: dict) -> dict:
-    specs = param_partition_specs(params)
+def param_shardings(mesh: Mesh, params: dict, shard_tables: bool = False) -> dict:
+    specs = param_partition_specs(params, shard_tables=shard_tables)
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
         specs,
@@ -169,7 +178,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
+def shard_params(params: dict, mesh: Mesh, shard_tables: bool = False) -> dict:
     """Device_put the param pytree with TP shardings."""
-    sh = param_shardings(mesh, params)
+    sh = param_shardings(mesh, params, shard_tables=shard_tables)
     return jax.tree.map(jax.device_put, params, sh)

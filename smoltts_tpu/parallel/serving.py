@@ -78,6 +78,7 @@ def shard_serving(
     mimi_params=None,
     mimi_state: Optional[MimiStreamState] = None,
     tensor_parallel: bool = False,
+    shard_tables: bool = False,
 ):
     """Lay out everything for mesh serving.
 
@@ -88,7 +89,7 @@ def shard_serving(
     from smoltts_tpu.parallel.mesh import replicated, shard_params
 
     if tensor_parallel:
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, shard_tables=shard_tables)
     else:
         params = jax.tree.map(lambda a: jax.device_put(a, replicated(mesh)), params)
     state = shard_decode_state(state, mesh)
