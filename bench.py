@@ -201,7 +201,10 @@ def main():
         prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
         inflight=2, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "8")),
     )
-    run_served(engine, B, wave=8, admit_every=1, frames_per_stream=4)
+    # Warmup must cover EVERY program the measured run hits: admission,
+    # decode, the first batched result fetch (transfer-path setup on
+    # tunneled runtimes is expensive once), and the periodic ring flush.
+    run_served(engine, B, wave=8, admit_every=1, frames_per_stream=40)
     served_tp, served_p50, served_p95 = run_served(engine, B)
 
     result = {

@@ -1,0 +1,182 @@
+"""Serving load test: hammer the real HTTP server through the continuous-
+batching engine and record latency SLAs (BASELINE.md config 3).
+
+Boots the full stack in-process — 150M random-init DualAR + Mimi vocoder,
+DecodeEngine(+EngineLoop) with attend bucketing and batched fetches, the
+dependency-free asyncio HttpServer — then drives POST
+/v1/text-to-speech/{id}/stream with N concurrent client threads (staggered
+admission). Per request: time-to-first-PCM-chunk over the socket; aggregate:
+served audio-seconds per wall second. Writes BENCH_SERVING.json:
+
+  {"runs": [{"concurrency": 8, "first_chunk_ms_p50": ..., ...}, ...]}
+
+Run on the bench host: `python scripts/bench_serving.py` (TPU; CPU works but
+slowly — pass --frames 8 --concurrency 4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import socket
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import jax.numpy as jnp
+import numpy as np
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def boot_server(num_slots: int, frames_per_req: int, fetch_every: int, port: int):
+    from smoltts_tpu import SmolTTS
+    from smoltts_tpu.codec.config import MimiConfig
+    from smoltts_tpu.codec.mimi import init_mimi_params
+    from smoltts_tpu.config import smoltts_byte_150m
+    from smoltts_tpu.io.checkpoint_interop import save_params
+    from smoltts_tpu.lm.engine import DecodeEngine, EngineLoop
+    from smoltts_tpu.lm.samplers import GenerationSettings
+    from smoltts_tpu.models.dual_ar import init_params
+    from smoltts_tpu.ops.quant import quantize_decode_params, quantize_mimi_params
+    from smoltts_tpu.server.app import build_app
+    from smoltts_tpu.server.tts_core import TTSCore
+    from smoltts_tpu.tokenizer import save_byte_level_tokenizer
+    from smoltts_tpu.utils.profiling import ServingMetrics
+
+    import tempfile
+
+    cfg = smoltts_byte_150m().model_copy(
+        update=dict(use_gradient_checkpointing=False, dropout=0.0)
+    )
+    ckpt = Path(tempfile.mkdtemp(prefix="smoltts_bench_"))
+    save_params(init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16), cfg, ckpt)
+    save_byte_level_tokenizer(ckpt, cfg.codebook_size)
+
+    model = SmolTTS(
+        ckpt,
+        dtype=jnp.bfloat16,
+        generation_settings=GenerationSettings(
+            default_temp=0.7, default_fast_temp=0.7, min_p=0.05,
+            max_new_tokens=frames_per_req, audio_only_constraint=True,
+        ),
+    )
+    model.codec_config = MimiConfig()
+    model.codec_params = init_mimi_params(model.codec_config, dtype=jnp.bfloat16)
+    model.params = quantize_decode_params(model.params)
+    model.codec_params = quantize_mimi_params(model.codec_params)
+
+    engine = DecodeEngine(
+        model.params, model.config, model.token_config, model.generation_settings,
+        num_slots=num_slots, kv_dtype=jnp.bfloat16,
+        mimi_params=model.codec_params, mimi_cfg=model.codec_config,
+        inflight=2, fetch_every=fetch_every,
+    )
+    metrics = ServingMetrics()
+    app = build_app(TTSCore(model), engine_loop=EngineLoop(engine), metrics=metrics)
+    th = threading.Thread(target=app.run, args=("127.0.0.1", port), daemon=True)
+    th.start()
+    for _ in range(200):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.25):
+                return metrics
+        except OSError:
+            time.sleep(0.05)
+    raise RuntimeError("server did not come up")
+
+
+def one_request(port: int, text: str):
+    t0 = time.perf_counter()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    conn.request(
+        "POST", "/v1/text-to-speech/0/stream", json.dumps({"text": text}),
+        {"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200, resp.status
+    first_ms, nbytes = None, 0
+    while True:
+        chunk = resp.read(4096)
+        if not chunk:
+            break
+        if first_ms is None:
+            first_ms = (time.perf_counter() - t0) * 1e3
+        nbytes += len(chunk)
+    conn.close()
+    return first_ms, nbytes
+
+
+def run_load(port: int, concurrency: int, stagger_s: float, text: str):
+    results = [None] * concurrency
+
+    def client(i):
+        time.sleep(i * stagger_s)
+        results[i] = one_request(port, text)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lats = sorted(r[0] for r in results if r and r[0] is not None)
+    audio_s = sum(r[1] for r in results if r) / 2 / 24_000  # int16 @ 24 kHz
+    return {
+        "concurrency": concurrency,
+        "first_chunk_ms_p50": round(lats[len(lats) // 2], 1),
+        "first_chunk_ms_p95": round(lats[min(len(lats) - 1, int(0.95 * len(lats)))], 1),
+        "served_audio_s_per_s": round(audio_s / wall, 2),
+        "audio_seconds": round(audio_s, 1),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--concurrency", type=int, nargs="+", default=[8, 32, 64])
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=64)  # 5.1 s audio per request
+    ap.add_argument("--fetch-every", type=int, default=8)
+    ap.add_argument("--stagger-s", type=float, default=0.03)
+    ap.add_argument("-o", "--out", type=str, default="BENCH_SERVING.json")
+    args = ap.parse_args()
+
+    port = free_port()
+    boot_server(args.slots, args.frames, args.fetch_every, port)
+    text = "The quick brown fox jumps over the lazy dog."
+
+    # Warmup: compile the admission/decode/flush programs.
+    run_load(port, 4, 0.01, text)
+
+    runs = []
+    for c in args.concurrency:
+        r = run_load(port, c, args.stagger_s, text)
+        print(json.dumps(r), flush=True)
+        runs.append(r)
+
+    out = {
+        "metric": "served_http_stream_load",
+        "device": str(jax.devices()[0]),
+        "slots": args.slots,
+        "frames_per_request": args.frames,
+        "fetch_every": args.fetch_every,
+        "runs": runs,
+    }
+    Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
