@@ -352,6 +352,20 @@ def _fast_micro_loop(
     Equivalent to the reference's 8 × forward_generate_fast host loop
     (lm/generate.py:113-141) fused into one lax.scan. Returns [B, n] codes.
     """
+    import os
+
+    from smoltts_tpu.ops.fast_loop import fused_fast_micro_loop, supports_fused_fast
+
+    # Fused Pallas frame kernel (ops/fast_loop.py): weights stay resident in
+    # VMEM across all 8 micro-steps instead of being re-streamed from HBM
+    # per step. Auto-selected on TPU for supported (released-family, int8)
+    # configs; SMOLTTS_FUSED_FAST=0/1 overrides.
+    choice = os.environ.get("SMOLTTS_FUSED_FAST", "auto")
+    if choice != "0" and supports_fused_fast(cfg, params) and (
+        choice == "1" or jax.default_backend() == "tpu"
+    ):
+        return fused_fast_micro_loop(params, cfg, hidden, rng, settings)
+
     B = hidden.shape[0]
     n = cfg.max_fast_seqlen
     fdims = fast_dims(cfg)

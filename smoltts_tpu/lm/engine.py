@@ -325,12 +325,19 @@ class DecodeEngine:
             self._release(sid)
         return frame
 
-    def _materialize(self, records: list) -> List[Tuple[int, dict]]:
-        """Fetch dispatched steps' outputs (ONE device round trip for the
-        whole batch) and run the lagged bookkeeping in dispatch order."""
-        fetched = jax.device_get(
+    @staticmethod
+    def fetch(records: list) -> list:
+        """Fetch dispatched steps' outputs: ONE device round trip for the
+        whole batch. Pure device I/O — safe to run OUTSIDE the engine lock,
+        concurrently with dispatching (EngineLoop overlaps the two threads so
+        the round-trip latency doesn't gate throughput)."""
+        return jax.device_get(
             [(r[0].audio_codes, r[0].is_audio, r[0].finished, r[1]) for r in records]
         )
+
+    def account(self, records: list, fetched: list) -> List[Tuple[int, dict]]:
+        """Lagged bookkeeping over fetched results, in dispatch order.
+        Mutates engine state (eviction, slot reuse) — call under the lock."""
         emitted = []
         for (codes, is_audio, fin, pcm), (_, _, rows) in zip(fetched, records):
             for row, sid in rows:
@@ -345,6 +352,18 @@ class DecodeEngine:
                 if frame is not None:
                     emitted.append((sid, frame))
         return emitted
+
+    def take_due(self) -> list:
+        """Pop the records whose fetch is due (stay `inflight` behind while
+        work continues; batch by `fetch_every`; drain fully when idle)."""
+        target = self.inflight if (self._pending or self._slot_to_stream) else 0
+        due = len(self._queue) - target
+        if due <= 0 or (target > 0 and due < self.fetch_every):
+            return []
+        return [self._queue.popleft() for _ in range(due)]
+
+    def _materialize(self, records: list) -> List[Tuple[int, dict]]:
+        return self.account(records, self.fetch(records))
 
     def _release(self, sid: int):
         h = self._streams.pop(sid, None)
@@ -363,6 +382,23 @@ class DecodeEngine:
 
         Returns [(stream_id, {audio_codes [ncb], is_audio, finished})].
         """
+        self.dispatch_step()
+
+        # Drain fetched results, staying `inflight` dispatches behind and
+        # fetching in `fetch_every` batches; once nothing new can be
+        # dispatched, drain fully. Releases during a drain may free slots for
+        # queued prompts — they are admitted on the next step() call.
+        emitted: List[Tuple[int, dict]] = []
+        while True:
+            records = self.take_due()
+            if not records:
+                break
+            emitted.extend(self._materialize(records))
+        return emitted
+
+    def dispatch_step(self) -> None:
+        """Admit pending streams and dispatch one frame for all live slots
+        (no result fetch — results queue for take_due/fetch/account)."""
         self._admit_pending()
 
         live_slots = list(self._slot_to_stream.items())
@@ -390,27 +426,20 @@ class DecodeEngine:
             self._since_flush += 1
             self._queue.append((out, pcm, [(s, sid) for s, sid in live_slots]))
 
-        # Drain fetched results, staying `inflight` dispatches behind and
-        # fetching in `fetch_every` batches; once nothing new can be
-        # dispatched, drain fully. Releases during a drain may free slots for
-        # queued prompts — they are admitted on the next step() call.
-        emitted: List[Tuple[int, dict]] = []
-        while True:
-            target = self.inflight if (self._pending or self._slot_to_stream) else 0
-            due = len(self._queue) - target
-            if due <= 0 or (target > 0 and due < self.fetch_every):
-                break
-            emitted.extend(
-                self._materialize([self._queue.popleft() for _ in range(due)])
-            )
-        return emitted
-
     def has_work(self) -> bool:
         return bool(self._pending or self._slot_to_stream or self._queue)
 
 
 class EngineLoop:
-    """Background thread driving a DecodeEngine; frames fan out to queues."""
+    """Two background threads driving a DecodeEngine; frames fan out to
+    per-stream queues.
+
+    The DISPATCH thread admits prompts and enqueues device steps; the FETCH
+    thread performs the (potentially slow — one network round trip on
+    tunneled runtimes) result fetches OUTSIDE the engine lock, so device
+    dispatch never stalls behind host I/O. Dispatch runs at most
+    `inflight + 2 * fetch_every` steps ahead of accounting so device buffers
+    and eviction lag stay bounded."""
 
     def __init__(self, engine: DecodeEngine, poll_interval: float = 0.002):
         self.engine = engine
@@ -418,8 +447,11 @@ class EngineLoop:
         self._queues: Dict[int, "queue.Queue"] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._max_ahead = engine.inflight + 2 * engine.fetch_every
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
+        self._dispatcher.start()
+        self._fetcher.start()
 
     def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> "queue.Queue":
         q: "queue.Queue" = queue.Queue()
@@ -428,13 +460,32 @@ class EngineLoop:
             self._queues[sid] = q
         return q
 
-    def _run(self):
+    def _dispatch_loop(self):
         import time
 
         while not self._stop.is_set():
             with self._lock:
-                work = self.engine.has_work()
-                frames = self.engine.step() if work else []
+                work = (
+                    bool(self.engine._pending or self.engine._slot_to_stream)
+                    and len(self.engine._queue) < self._max_ahead
+                )
+                if work:
+                    self.engine.dispatch_step()
+            if not work:
+                time.sleep(self.poll_interval)
+
+    def _fetch_loop(self):
+        import time
+
+        while not self._stop.is_set():
+            with self._lock:
+                records = self.engine.take_due()
+            if not records:
+                time.sleep(self.poll_interval)
+                continue
+            fetched = self.engine.fetch(records)  # slow I/O, lock NOT held
+            with self._lock:
+                frames = self.engine.account(records, fetched)
             for sid, frame in frames:
                 q = self._queues.get(sid)
                 if q is not None:
@@ -442,9 +493,8 @@ class EngineLoop:
                     if frame["finished"]:
                         q.put(None)  # sentinel
                         self._queues.pop(sid, None)
-            if not work:
-                time.sleep(self.poll_interval)
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._dispatcher.join(timeout=5)
+        self._fetcher.join(timeout=5)

@@ -157,8 +157,13 @@ def load_core(settings: ServerSettings) -> TTSCore:
     return TTSCore(model, settings)
 
 
-def build_engine_loop(core: TTSCore, num_slots: int = 32):
-    """Continuous-batched decode engine + vocoder over the loaded model."""
+def build_engine_loop(
+    core: TTSCore, num_slots: int = 32, inflight: int = 2, fetch_every: int = 1
+):
+    """Continuous-batched decode engine + vocoder over the loaded model.
+
+    On hosts with a high device round-trip latency (tunneled runtimes) raise
+    `fetch_every` so one fetch covers several frames (see lm/engine.py)."""
     from smoltts_tpu.lm.engine import DecodeEngine, EngineLoop
 
     m = core.model
@@ -170,6 +175,8 @@ def build_engine_loop(core: TTSCore, num_slots: int = 32):
         num_slots=num_slots,
         mimi_params=m.codec_params,
         mimi_cfg=m.codec_config,
+        inflight=inflight,
+        fetch_every=fetch_every,
     )
     return EngineLoop(engine)
 
