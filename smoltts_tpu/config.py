@@ -252,6 +252,12 @@ class TrainingConfig(BaseModel):
     # Device mesh: data-parallel x model(tensor)-parallel.
     mesh_data_axis: int = -1  # -1: all devices on the data axis
     mesh_model_axis: int = 1
+    # Sequence parallelism: shard [B, T, dim] activations' T over the `model`
+    # axis (long packed sequences; GSPMD inserts the attention all-gathers).
+    sequence_parallel: bool = False
+    # Preemption recovery: resume from the newest checkpoint under
+    # checkpoint_path at startup (SURVEY §5 failure/recovery).
+    auto_resume: bool = False
     seed: int = 0
     log_every_n_steps: int = 10
     remat_policy: str = "none"  # "none" | "dots" (see models/dual_ar.run_trunk)

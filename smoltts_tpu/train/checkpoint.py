@@ -87,6 +87,19 @@ class CheckpointManager:
         return dirs[-1] if dirs else None
 
     @staticmethod
+    def latest_checkpoint(base_directory: str) -> Optional[Path]:
+        """Newest step checkpoint across all runs under `base_directory` —
+        the preemption-recovery entry (restart-from-latest): newest step
+        first, run-dir timestamp as the tiebreaker."""
+        best: Optional[Path] = None
+        for step_dir in Path(base_directory).glob("*/step_*"):
+            if best is None or (step_dir.name, step_dir.parent.name) > (
+                best.name, best.parent.name
+            ):
+                best = step_dir
+        return best
+
+    @staticmethod
     def load(
         checkpoint_path: str,
         config: TrainingConfig,

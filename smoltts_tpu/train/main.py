@@ -107,8 +107,16 @@ def main(argv: Optional[list] = None):
         config=config,
     )
     start_step = 0
-    if args.checkpoint:
-        ckpt, start_step, reinit = CheckpointManager.load(args.checkpoint, config)
+    resume_from = args.checkpoint
+    if resume_from is None and config.auto_resume:
+        # Preemption recovery: restart-from-latest (SURVEY §5). A fresh run
+        # (no checkpoints yet) starts from init.
+        latest = CheckpointManager.latest_checkpoint(config.checkpoint_path)
+        if latest is not None:
+            print(f"auto-resume: restarting from {latest}")
+            resume_from = str(latest)
+    if resume_from:
+        ckpt, start_step, reinit = CheckpointManager.load(resume_from, config)
         params = jax.tree.map(
             lambda a, sh: jax.device_put(jnp.asarray(a), sh.sharding),
             ckpt["params"],

@@ -43,10 +43,11 @@ def init_train_state(
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
 
 
-def loss_fn(params, cfg: DualARConfig, batch: Dict[str, jnp.ndarray], rng, remat_policy: str = "none") -> tuple:
+def loss_fn(params, cfg: DualARConfig, batch: Dict[str, jnp.ndarray], rng,
+            remat_policy: str = "none", activation_sharding=None) -> tuple:
     out = forward_train(
         params, cfg, batch["tokens"], dropout_rng=rng, train=True,
-        remat_policy=remat_policy,
+        remat_policy=remat_policy, activation_sharding=activation_sharding,
     )
     losses = compute_losses(out.token_logits, out.codebook_logits, batch["labels"])
     return losses.total, losses
@@ -58,17 +59,23 @@ def make_train_step(
     tx: optax.GradientTransformation,
     accumulate_steps: int = 1,
     donate: bool = True,
+    activation_sharding=None,
 ):
     """Build the jitted train step.
 
     batch tensors have a leading microbatch axis when accumulate_steps > 1:
     tokens [A, B, R, T]; otherwise [B, R, T].
+
+    activation_sharding: optional NamedSharding for the [B, T, dim] slow-trunk
+    activations — sequence parallelism for long packed batches
+    (TrainingConfig.sequence_parallel wires P('data', 'model', None)).
     """
 
     def step_fn(state: TrainState, batch, rng):
         if accumulate_steps == 1:
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, cfg, batch, rng, config.remat_policy
+                state.params, cfg, batch, rng, config.remat_policy,
+                activation_sharding,
             )
         else:
 
@@ -76,7 +83,8 @@ def make_train_step(
                 acc, rng = carry
                 rng, sub = jax.random.split(rng)
                 (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, cfg, mb, sub, config.remat_policy
+                    state.params, cfg, mb, sub, config.remat_policy,
+                    activation_sharding,
                 )
                 acc = jax.tree.map(jnp.add, acc, grads)
                 return (acc, rng), losses
@@ -149,8 +157,21 @@ def train_loop(
 ):
     """Host-side training loop: iterate batches, log, validate, checkpoint."""
     rng = rng if rng is not None else jax.random.PRNGKey(config.seed)
+    activation_sharding = None
+    if config.sequence_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from smoltts_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        mesh = getattr(jax.tree.leaves(state.params)[0], "sharding", None)
+        mesh = getattr(mesh, "mesh", None)
+        if mesh is not None:
+            activation_sharding = NamedSharding(
+                mesh, P(DATA_AXIS, MODEL_AXIS, None)
+            )
     train_step = make_train_step(
-        cfg, config, tx, accumulate_steps=config.accumulate_steps
+        cfg, config, tx, accumulate_steps=config.accumulate_steps,
+        activation_sharding=activation_sharding,
     )
     t0 = time.perf_counter()
     profiling = False
