@@ -357,13 +357,14 @@ def _fast_micro_loop(
     from smoltts_tpu.ops.fast_loop import fused_fast_micro_loop, supports_fused_fast
 
     # Fused Pallas frame kernel (ops/fast_loop.py): weights stay resident in
-    # VMEM across all 8 micro-steps instead of being re-streamed from HBM
-    # per step. Auto-selected on TPU for supported (released-family, int8)
-    # configs; SMOLTTS_FUSED_FAST=0/1 overrides.
-    choice = os.environ.get("SMOLTTS_FUSED_FAST", "auto")
-    if choice != "0" and supports_fused_fast(cfg, params) and (
-        choice == "1" or jax.default_backend() == "tpu"
-    ):
+    # VMEM across all 8 micro-steps instead of being re-streamed from HBM per
+    # step (standalone A/B on v5e at 150M/B=64: 0.97-1.06 ms vs 1.03-1.65 ms
+    # per frame for the XLA loop, bit-exact greedy). OPT-IN
+    # (SMOLTTS_FUSED_FAST=1): on this environment's tunneled runtime,
+    # embedding the kernel inside the large fused pipeline programs wedges
+    # the remote-compile service (standalone compiles are fine, 3/3) — flip
+    # the default on a standard TPU host.
+    if os.environ.get("SMOLTTS_FUSED_FAST") == "1" and supports_fused_fast(cfg, params):
         return fused_fast_micro_loop(params, cfg, hidden, rng, settings)
 
     B = hidden.shape[0]
