@@ -92,10 +92,22 @@ def main():
     chunk_step = make_chunk_step(cfg, token_cfg, settings, mimi_cfg, CHUNK, attend_limit=BUCKET)
     flush_step = make_flush_step()
 
+    # kv8 (BENCH_KV8=0 opts out): int8 KV history/ring with per-vector
+    # scales (ops/quant.py::quantize_kv) — the attention HBM reads halve.
+    # Quality-gated by tests/test_kv8.py (greedy token agreement + PCM SNR).
+    kv8 = os.environ.get("BENCH_KV8", "1") != "0"
+    kv_dtype = jnp.int8 if kv8 else jnp.bfloat16
+
     def fresh_state(lm_tail=128, mimi_tail=64):
         return (
-            init_decode_state(cfg, B, S, dtype=jnp.bfloat16, tail_len=lm_tail),
-            decode_stream_init(mimi_cfg, B, dtype=jnp.bfloat16, tail_len=mimi_tail),
+            init_decode_state(cfg, B, S, dtype=kv_dtype, tail_len=lm_tail),
+            decode_stream_init(
+                mimi_cfg,
+                B,
+                dtype=jnp.bfloat16,
+                tail_len=mimi_tail,
+                kv_dtype=jnp.int8 if kv8 else None,
+            ),
         )
 
     def run_streaming(n_frames):
@@ -197,7 +209,7 @@ def main():
     # 8 frames (the tunnel RTT otherwise caps the engine at ~1/RTT steps/s).
     engine = DecodeEngine(
         params, cfg, token_cfg, settings,
-        num_slots=B, max_seq_len=S, kv_dtype=jnp.bfloat16,
+        num_slots=B, max_seq_len=S, kv_dtype=kv_dtype,
         prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
         inflight=2, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "8")),
     )
@@ -224,6 +236,7 @@ def main():
             "streams": B,
             "frames": N_FRAMES,
             "int8_weights": quantized,
+            "int8_kv": kv8,
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },

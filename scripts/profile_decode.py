@@ -88,7 +88,7 @@ def main():
 
         def slow_only(p, st, xx):
             cos, sin = rope_cos_sin(st.pos[:, None], cfg.head_dim, cfg.rope_base)
-            h, _, _ = _decode_trunk(
+            h, _, _, _, _ = _decode_trunk(
                 p["layers"], xx, st.k, st.v, st.pos, slow_dims(cfg), cos, sin,
                 causal_within=False, norm_eps=cfg.norm_eps,
             )

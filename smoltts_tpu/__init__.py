@@ -47,7 +47,9 @@ class SmolTTS:
     ):
         """`quantize="int8"` enables weight-only int8 decode for the LM
         trunks + heads (ops/quant.py): halves per-frame HBM weight traffic;
-        embeddings and norms stay in bf16."""
+        embeddings and norms stay in bf16. `quantize="int8+kv8"` additionally
+        stores the KV history/ring in int8 with per-vector scales
+        (quality-gated by tests/test_kv8.py)."""
         import jax
         import jax.numpy as jnp
 
@@ -57,9 +59,12 @@ class SmolTTS:
         from smoltts_tpu.lm.prompt import PromptEncoder
         from smoltts_tpu.lm.samplers import GenerationSettings
 
-        if quantize not in (None, "int8"):
+        if quantize not in (None, "int8", "int8+kv8"):
             # Validate before the (potentially multi-GB) checkpoint load.
-            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
+            raise ValueError(
+                f"unknown quantize mode {quantize!r} (use 'int8' or 'int8+kv8')"
+            )
+        self.kv_dtype = jnp.int8 if quantize == "int8+kv8" else jnp.bfloat16
 
         checkpoint_dir = Path(checkpoint_dir)
         self.config = DualARConfig.from_json_file(checkpoint_dir / "config.json")
@@ -69,7 +74,7 @@ class SmolTTS:
             self.model_type, self.tokenizer, self.config
         )
         self.params = load_params(checkpoint_dir, self.config, dtype=dtype)
-        if quantize == "int8":
+        if quantize in ("int8", "int8+kv8"):
             from smoltts_tpu.ops.quant import quantize_decode_params
 
             self.params = quantize_decode_params(self.params)
@@ -199,8 +204,13 @@ class SmolTTS:
         stream_step = make_stream_step(
             self.config, self.token_config, self.generation_settings, self.codec_config
         )
-        state = init_decode_state(self.config, 1, self.config.max_seq_len)
-        mstate = decode_stream_init(self.codec_config, batch=1)
+        kv8 = self.kv_dtype == self._jnp.int8
+        state = init_decode_state(
+            self.config, 1, self.config.max_seq_len, dtype=self.kv_dtype
+        )
+        mstate = decode_stream_init(
+            self.codec_config, batch=1, kv_dtype=self._jnp.int8 if kv8 else None
+        )
         padded, lens = pad_prompts([prompt])
         rng = self._next_rng()
         state, mstate, rng, out = prefill_step(

@@ -333,14 +333,20 @@ class MimiStreamState(NamedTuple):
 
 
 def decode_stream_init(
-    cfg: MimiConfig, batch: int, dtype=jnp.float32, tail_len: int = 64
+    cfg: MimiConfig,
+    batch: int,
+    dtype=jnp.float32,
+    tail_len: int = 64,
+    kv_dtype=None,
 ) -> MimiStreamState:
+    """`kv_dtype=jnp.int8` puts the codec transformer's ring KV in kv8 mode
+    (int8 ring + per-vector scales; conv/tail buffers stay `dtype`)."""
     K = cfg.downsample_kernel
     return MimiStreamState(
         upsample_tail=convtr_stream_init(
             batch, cfg.hidden_size, K, cfg.downsample_stride, dtype
         ),
-        transformer=ring_state_init(cfg, batch, dtype, tail_len=tail_len),
+        transformer=ring_state_init(cfg, batch, kv_dtype or dtype, tail_len=tail_len),
         decoder=seanet_stream_init(build_decoder_plan(cfg), batch, dtype),
     )
 
@@ -360,6 +366,8 @@ def reset_stream_slots(state: MimiStreamState, slots: jnp.ndarray) -> MimiStream
             slot_pos=t.slot_pos.at[slots].set(-1),
             tail_abs=t.tail_abs.at[slots].set(-1),
             pos=t.pos.at[slots].set(0),
+            k_scale=None if t.k_scale is None else t.k_scale.at[:, slots].set(1.0),
+            v_scale=None if t.v_scale is None else t.v_scale.at[:, slots].set(1.0),
         ),
         decoder=dec,
     )
@@ -382,6 +390,12 @@ def scatter_stream_state(
             slot_pos=bt.slot_pos.at[slots].set(st_flushed.slot_pos),
             tail_abs=bt.tail_abs.at[slots].set(-1),
             pos=bt.pos.at[slots].set(st_flushed.pos),
+            k_scale=None
+            if bt.k_scale is None
+            else bt.k_scale.at[:, slots].set(st_flushed.k_scale),
+            v_scale=None
+            if bt.v_scale is None
+            else bt.v_scale.at[:, slots].set(st_flushed.v_scale),
         ),
         decoder=dec,
     )

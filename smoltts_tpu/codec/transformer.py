@@ -46,6 +46,10 @@ class TransformerRingState(NamedTuple):
     tail_abs: jnp.ndarray  # [B, Wt] absolute position per tail column, -1 = empty
     t_phase: jnp.ndarray  # [] int32 — next tail write column
     pos: jnp.ndarray  # [B] next absolute position
+    # kv8 mode (ring_state_init(dtype=jnp.int8)): the RING is int8 with
+    # per-vector scales (quantized at flush); tails stay bf16. None otherwise.
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, W, H] f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def tail_len(self) -> int:
@@ -55,18 +59,24 @@ class TransformerRingState(NamedTuple):
 def ring_state_init(
     cfg: MimiConfig, batch: int, dtype=jnp.float32, tail_len: int = 64
 ) -> TransformerRingState:
+    """`dtype=jnp.int8` selects kv8: int8 ring + f32 per-vector scales (the
+    tails, written on the hot path, stay bf16)."""
     W = cfg.sliding_window
     H, hd = cfg.num_attention_heads, cfg.head_dim
     L = cfg.num_hidden_layers
+    kv8 = dtype == jnp.int8
+    tail_dtype = jnp.bfloat16 if kv8 else dtype
     return TransformerRingState(
         k=jnp.zeros((L, batch, W, H, hd), dtype),
         v=jnp.zeros((L, batch, W, H, hd), dtype),
         slot_pos=jnp.full((batch, W), -1, jnp.int32),
-        k_tail=jnp.zeros((L, batch, tail_len, H, hd), dtype),
-        v_tail=jnp.zeros((L, batch, tail_len, H, hd), dtype),
+        k_tail=jnp.zeros((L, batch, tail_len, H, hd), tail_dtype),
+        v_tail=jnp.zeros((L, batch, tail_len, H, hd), tail_dtype),
         tail_abs=jnp.full((batch, tail_len), -1, jnp.int32),
         t_phase=jnp.zeros((), jnp.int32),
         pos=jnp.zeros((batch,), jnp.int32),
+        k_scale=jnp.ones((L, batch, W, H), jnp.float32) if kv8 else None,
+        v_scale=jnp.ones((L, batch, W, H), jnp.float32) if kv8 else None,
     )
 
 
@@ -79,20 +89,32 @@ def flush_transformer_ring(state: TransformerRingState) -> TransformerRingState:
     slots = jnp.where(valid, state.tail_abs % W, W)  # OOB -> dropped
 
     def flush_one(ring_b, tail_b, slots_b):
-        # ring_b [L, W, H, hd]; tail_b [L, Wt, H, hd]; slots_b [Wt]
+        # ring_b [L, W, ...]; tail_b [L, Wt, ...]; slots_b [Wt]
         return ring_b.at[:, slots_b].set(tail_b, mode="drop")
 
-    k = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.k, state.k_tail, slots)
-    v = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.v, state.v_tail, slots)
+    scatter = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)
+    updates = {}
+    if state.k_scale is not None:
+        # kv8: quantize the bf16 tail entries as they enter the ring.
+        from smoltts_tpu.ops.quant import quantize_kv
+
+        kq, ks = quantize_kv(state.k_tail)
+        vq, vs = quantize_kv(state.v_tail)
+        updates["k"] = scatter(state.k, kq, slots)
+        updates["v"] = scatter(state.v, vq, slots)
+        updates["k_scale"] = scatter(state.k_scale, ks, slots)
+        updates["v_scale"] = scatter(state.v_scale, vs, slots)
+    else:
+        updates["k"] = scatter(state.k, state.k_tail, slots)
+        updates["v"] = scatter(state.v, state.v_tail, slots)
     slot_pos = jax.vmap(lambda sp, sl, ab: sp.at[sl].set(ab, mode="drop"))(
         state.slot_pos, slots, state.tail_abs
     )
     return state._replace(
-        k=k,
-        v=v,
         slot_pos=slot_pos,
         tail_abs=jnp.full_like(state.tail_abs, -1),
         t_phase=jnp.zeros_like(state.t_phase),
+        **updates,
     )
 
 
@@ -234,9 +256,14 @@ def transformer_stream_step(
         )
         # Two einsums + joint softmax: concatenating the ring and tail K/V
         # would materialize a fresh [B, W+Wt, H, hd] buffer per layer.
+        # kv8: the ring is int8 — keys dequantize by scaling the logits,
+        # values by scaling the probs (per ring-vector scales).
         lr = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, state.k[l], preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", q, state.k[l].astype(h.dtype),
+            preferred_element_type=jnp.float32,
         ) * scale
+        if state.k_scale is not None:
+            lr = lr * state.k_scale[l].transpose(0, 2, 1)[:, :, None, :]
         lt = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_tail[l], preferred_element_type=jnp.float32
         ) * scale
@@ -245,10 +272,13 @@ def transformer_stream_step(
             axis=-1,
         )
         probs = jax.nn.softmax(logits, axis=-1)
-        pr = probs[..., :W].astype(state.v.dtype)
+        pr = probs[..., :W]
+        if state.v_scale is not None:
+            pr = pr * state.v_scale[l].transpose(0, 2, 1)[:, :, None, :]
+        pr = pr.astype(h.dtype)
         pt = probs[..., W:].astype(v_tail.dtype)
         att = (
-            jnp.einsum("bhqk,bkhd->bqhd", pr, state.v[l])
+            jnp.einsum("bhqk,bkhd->bqhd", pr, state.v[l].astype(h.dtype))
             + jnp.einsum("bhqk,bkhd->bqhd", pt, v_tail[l])
         )
         att = mm(att.reshape(B, T, H * hd).astype(h.dtype), lp["wo"])

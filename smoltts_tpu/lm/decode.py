@@ -77,6 +77,13 @@ class DecodeState(NamedTuple):
     pos: jnp.ndarray  # [B] int32 — number of cached tokens == next write slot
     prev_tokens: jnp.ndarray  # [B, num_rows] int32 — frame fed to next step
     finished: jnp.ndarray  # [B] bool
+    # kv8 mode (init_decode_state(kv_dtype=jnp.int8)): the HISTORY is int8
+    # with per-vector scales (ops/quant.py::quantize_kv) — attention reads
+    # halve their HBM traffic — while the hot-path tails stay bf16.
+    # Quantization happens only at the prefill/flush boundary. None in the
+    # default bf16 mode.
+    k_scale: Optional[jnp.ndarray] = None  # [n_layer, B, n_kv_head, S] f32
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def tail_len(self) -> int:
@@ -98,20 +105,27 @@ def init_decode_state(
     dtype=jnp.bfloat16,
     tail_len: int = 128,
 ) -> DecodeState:
+    """`dtype=jnp.int8` selects kv8 mode: int8 history + f32 per-vector
+    scales (tails stay bf16 — they're written on the hot path and
+    consolidated, quantizing, at flush)."""
     S = max_seq_len or cfg.max_seq_len
+    kv8 = dtype == jnp.int8
+    tail_dtype = jnp.bfloat16 if kv8 else dtype
     kv_shape = (cfg.n_layer, batch_size, cfg.n_local_heads, S, cfg.head_dim)
     tail_shape = (cfg.n_layer, batch_size, cfg.n_local_heads, tail_len, cfg.head_dim)
     return DecodeState(
         k=jnp.zeros(kv_shape, dtype),
         v=jnp.zeros(kv_shape, dtype),
-        k_tail=jnp.zeros(tail_shape, dtype),
-        v_tail=jnp.zeros(tail_shape, dtype),
+        k_tail=jnp.zeros(tail_shape, tail_dtype),
+        v_tail=jnp.zeros(tail_shape, tail_dtype),
         tail_pos=jnp.full((batch_size, tail_len), -1, jnp.int32),
         flushed=jnp.zeros((batch_size,), jnp.int32),
         phase=jnp.zeros((), jnp.int32),
         pos=jnp.zeros((batch_size,), jnp.int32),
         prev_tokens=jnp.zeros((batch_size, cfg.num_rows), jnp.int32),
         finished=jnp.zeros((batch_size,), bool),
+        k_scale=jnp.ones(kv_shape[:-1], jnp.float32) if kv8 else None,
+        v_scale=jnp.ones(kv_shape[:-1], jnp.float32) if kv8 else None,
     )
 
 
@@ -133,17 +147,29 @@ def flush_kv(state: DecodeState) -> DecodeState:
     idx = jnp.where(valid, state.tail_pos, S)  # OOB rows are dropped
 
     def flush_one(hist_b, tail_b, idx_w):
-        # hist_b [L, H, S, hd]; tail_b [L, H, W, hd]; idx_w [W]
+        # hist_b [L, H, S, ...]; tail_b [L, H, W, ...]; idx_w [W]
         return hist_b.at[:, :, idx_w].set(tail_b, mode="drop")
 
-    k = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.k, state.k_tail, idx)
-    v = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)(state.v, state.v_tail, idx)
+    scatter = jax.vmap(flush_one, in_axes=(1, 1, 0), out_axes=1)
+    updates = {}
+    if state.k_scale is not None:
+        # kv8: quantize the bf16 tail entries as they enter the history.
+        from smoltts_tpu.ops.quant import quantize_kv
+
+        kq, ks = quantize_kv(state.k_tail)
+        vq, vs = quantize_kv(state.v_tail)
+        updates["k"] = scatter(state.k, kq, idx)
+        updates["v"] = scatter(state.v, vq, idx)
+        updates["k_scale"] = scatter(state.k_scale, ks, idx)
+        updates["v_scale"] = scatter(state.v_scale, vs, idx)
+    else:
+        updates["k"] = scatter(state.k, state.k_tail, idx)
+        updates["v"] = scatter(state.v, state.v_tail, idx)
     return state._replace(
-        k=k,
-        v=v,
         tail_pos=jnp.full_like(state.tail_pos, -1),
         flushed=state.pos,
         phase=jnp.zeros_like(state.phase),
+        **updates,
     )
 
 
@@ -152,22 +178,42 @@ def flush_kv(state: DecodeState) -> DecodeState:
 # --------------------------------------------------------------------------
 
 
-def _write_kv(cache: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def _write_kv(
+    cache: jnp.ndarray,
+    new: jnp.ndarray,
+    pos: jnp.ndarray,
+    scale_cache: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Write new [B, T, H, hd] into cache [B, H, S, hd] at per-slot positions.
 
     T == 1 (the decode hot path) uses a single batched scatter — a vmapped
     dynamic_update_slice lowers to a while-loop over the batch (~70 us/layer
     on v5e). Prefill (T > 1) keeps the vmapped slice write.
+
+    With `scale_cache` ([B, H, S], kv8 mode) the new entries are quantized
+    per vector and both caches are written.
     """
     new = new.transpose(0, 2, 1, 3)  # [B, H, T, hd]
     B = cache.shape[0]
+    if scale_cache is not None:
+        from smoltts_tpu.ops.quant import quantize_kv
+
+        new, new_scale = quantize_kv(new)  # int8 [B,H,T,hd], f32 [B,H,T]
     if new.shape[2] == 1:
-        return cache.at[jnp.arange(B), :, pos].set(new[:, :, 0].astype(cache.dtype))
+        cache = cache.at[jnp.arange(B), :, pos].set(new[:, :, 0].astype(cache.dtype))
+        if scale_cache is not None:
+            scale_cache = scale_cache.at[jnp.arange(B), :, pos].set(new_scale[:, :, 0])
+        return cache, scale_cache
 
     def write_one(c, n, p):
         return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
 
-    return jax.vmap(write_one)(cache, new, pos)
+    cache = jax.vmap(write_one)(cache, new, pos)
+    if scale_cache is not None:
+        scale_cache = jax.vmap(
+            lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (0, p))
+        )(scale_cache, new_scale, pos)
+    return cache, scale_cache
 
 
 def _decode_trunk(
@@ -183,7 +229,9 @@ def _decode_trunk(
     causal_within: bool,
     norm_eps: float,
     attend_limit: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    k_scale: Optional[jnp.ndarray] = None,  # [L, B, n_kv, S] — kv8 mode
+    v_scale: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Run the cached trunk over T new tokens (T=1 decode, T=prompt prefill).
 
     Writes k/v at positions pos..pos+T-1 and attends over the whole cache with
@@ -195,14 +243,21 @@ def _decode_trunk(
     bucket switch is just a different compiled program over the same state.
     At S=1024 this is the dominant decode cost (KV reads are ~950 GB/s
     bandwidth-bound), so early-in-generation buckets run up to 4x faster.
+
+    Returns (h, k_cache, v_cache, k_scale, v_scale) — scales are None unless
+    the cache is kv8 (int8 + per-vector scales).
     """
     B, T, _ = x.shape
     S = k_cache.shape[3]
-    k_idx = jnp.arange(S)
+    kv8 = k_scale is not None
 
     def block(carry, lp_kv):
         h = carry
-        lp, kc, vc = lp_kv
+        if kv8:
+            lp, kc, vc, ksc, vsc = lp_kv
+        else:
+            lp, kc, vc = lp_kv
+            ksc = vsc = None
         hn = rms_norm(h, lp["attention_norm"], norm_eps)
         qkv = mm(hn, lp["wqkv"])
         if "wqkv_bias" in lp:
@@ -210,8 +265,8 @@ def _decode_trunk(
         q, k, v = split_qkv(qkv, dims)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = _write_kv(kc, k, pos)
-        vc = _write_kv(vc, v, pos)
+        kc, ksc = _write_kv(kc, k, pos, ksc)
+        vc, vsc = _write_kv(vc, v, pos, vsc)
         if causal_within and T > 1:
             # Prefill runs on FRESH slots (pos == 0): the only attendable
             # history is the T new tokens themselves, so attend over them
@@ -221,25 +276,36 @@ def _decode_trunk(
             causal = t_idx[:, None] >= t_idx[None, :]
             att = _cached_sdpa_multi(
                 q,
-                k.transpose(0, 2, 1, 3).astype(kc.dtype),
-                v.transpose(0, 2, 1, 3).astype(vc.dtype),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
                 jnp.broadcast_to(causal, (B, T, T)),
             )
         else:
             from smoltts_tpu.ops.attention import decode_attention
 
             kr, vr = kc, vc
+            ksr, vsr = ksc, vsc
             if attend_limit is not None and attend_limit < S:
                 kr = kc[:, :, :attend_limit]
                 vr = vc[:, :, :attend_limit]
-            att = decode_attention(q[:, 0], kr, vr, pos)[:, None, :]
+                if kv8:
+                    ksr = ksc[:, :, :attend_limit]
+                    vsr = vsc[:, :, :attend_limit]
+            att = decode_attention(q[:, 0], kr, vr, pos, k_scale=ksr, v_scale=vsr)[
+                :, None, :
+            ]
         h = h + mm(att, lp["wo"])
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
         h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
-        return h, (kc, vc)
+        out = (kc, vc, ksc, vsc) if kv8 else (kc, vc)
+        return h, out
 
-    x, (k_cache, v_cache) = jax.lax.scan(block, x, (layer_params, k_cache, v_cache))
-    return x, k_cache, v_cache
+    if kv8:
+        xs = (layer_params, k_cache, v_cache, k_scale, v_scale)
+        x, (k_cache, v_cache, k_scale, v_scale) = jax.lax.scan(block, x, xs)
+    else:
+        x, (k_cache, v_cache) = jax.lax.scan(block, x, (layer_params, k_cache, v_cache))
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 def _decode_trunk_tailed(
@@ -259,6 +325,8 @@ def _decode_trunk_tailed(
     *,
     norm_eps: float,
     attend_limit: Optional[int] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [L, B, n_kv, S] — kv8 history scales
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-token trunk over the split (history + ring-tail) cache.
 
@@ -310,6 +378,8 @@ def _decode_trunk_tailed(
             pos,
             flushed,
             tail_pos,
+            k_scale=None if k_scale is None else k_scale[l, :, :, :lim],
+            v_scale=None if v_scale is None else v_scale[l, :, :, :lim],
         )[:, None, :]
         h = h + mm(att, lp["wo"])
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
@@ -544,7 +614,7 @@ def prefill(
     # fresh slot); RoPE positions run pos+t.
     positions = state.pos[:, None] + jnp.arange(T)[None, :]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
-    h, k_cache, v_cache = _decode_trunk(
+    h, k_cache, v_cache, k_scale, v_scale = _decode_trunk(
         params["layers"],
         x,
         state.k,
@@ -555,6 +625,8 @@ def prefill(
         sin,
         causal_within=True,
         norm_eps=cfg.norm_eps,
+        k_scale=state.k_scale,
+        v_scale=state.v_scale,
     )
     # Gather the last REAL position per slot.
     last_idx = state.pos + prompt_len - 1
@@ -570,6 +642,8 @@ def prefill(
     new_state = state._replace(
         k=k_cache,
         v=v_cache,
+        k_scale=k_scale,
+        v_scale=v_scale,
         tail_pos=jnp.full_like(state.tail_pos, -1),
         flushed=state.pos + prompt_len,
         phase=jnp.zeros_like(state.phase),
@@ -625,6 +699,8 @@ def decode_frame(
         sin,
         norm_eps=cfg.norm_eps,
         attend_limit=attend_limit,
+        k_scale=state.k_scale,
+        v_scale=state.v_scale,
     )
     h_last = h[:, 0]
     token_logits = token_head(params, cfg, h_last[:, None, :])[:, 0]
@@ -658,10 +734,12 @@ def make_decode_fns(cfg: DualARConfig, token_cfg: TokenConfig, settings: Generat
     the whole history every frame (see pipeline.py)."""
     pf = jax.jit(partial(prefill, cfg=cfg, token_cfg=token_cfg, settings=settings))
 
-    def df(params, k, v, rest, rng):
-        state = rest._replace(k=k, v=v)
+    def df(params, kv, rest, rng):
+        state = rest._replace(
+            k=kv["k"], v=kv["v"], k_scale=kv["ks"], v_scale=kv["vs"]
+        )
         new_state, out = decode_frame(params, cfg, token_cfg, settings, state, rng)
-        return new_state._replace(k=None, v=None), out
+        return new_state._replace(k=None, v=None, k_scale=None, v_scale=None), out
 
     df = jax.jit(df)
 
@@ -669,7 +747,15 @@ def make_decode_fns(cfg: DualARConfig, token_cfg: TokenConfig, settings: Generat
         return pf(params, state=state, prompt=prompt, prompt_len=prompt_len, rng=rng)
 
     def decode_fn(params, state, rng):
-        rest, out = df(params, state.k, state.v, state._replace(k=None, v=None), rng)
-        return rest._replace(k=state.k, v=state.v), out
+        kv = {"k": state.k, "v": state.v, "ks": state.k_scale, "vs": state.v_scale}
+        rest, out = df(
+            params, kv, state._replace(k=None, v=None, k_scale=None, v_scale=None), rng
+        )
+        return (
+            rest._replace(
+                k=state.k, v=state.v, k_scale=state.k_scale, v_scale=state.v_scale
+            ),
+            out,
+        )
 
     return prefill_fn, decode_fn

@@ -137,7 +137,14 @@ class DecodeEngine:
         if mimi_params is not None:
             from smoltts_tpu.codec.mimi import decode_stream_init
 
-            self.mimi_state = decode_stream_init(mimi_cfg, num_slots, dtype=kv_dtype)
+            # kv8 (kv_dtype=int8) applies to the KV rings only; the conv /
+            # SEANet streaming buffers stay bf16.
+            self.mimi_state = decode_stream_init(
+                mimi_cfg,
+                num_slots,
+                dtype=jnp.bfloat16 if kv_dtype == jnp.int8 else kv_dtype,
+                kv_dtype=jnp.int8 if kv_dtype == jnp.int8 else None,
+            )
 
             def decode_vocode(params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng, attend_limit):
                 from smoltts_tpu.codec.mimi import mimi_decode_step
@@ -171,20 +178,25 @@ class DecodeEngine:
             self._decode_vocode = decode_vocode_wrapped
 
         def decode_only(params, lm_k, lm_v, rest, rng, attend_limit):
-            state = rest._replace(k=lm_k, v=lm_v)
+            from smoltts_tpu.lm.pipeline import _merge_lm, _split_lm
+
+            state = _merge_lm(lm_k, lm_v, rest)
             state, out = decode_frame(
                 params, cfg, token_cfg, settings, state, rng, attend_limit=attend_limit
             )
-            return state._replace(k=None, v=None), out
+            _, _, rest = _split_lm(state)
+            return rest, out
 
         _decode_jit = jax.jit(decode_only, static_argnames=("attend_limit",))
 
         def decode_wrapped(params, state, rng, attend_limit):
+            from smoltts_tpu.lm.pipeline import _merge_lm, _split_lm
+
+            lm_k, lm_v, rest0 = _split_lm(state)
             rest, out = _decode_jit(
-                params, state.k, state.v, state._replace(k=None, v=None), rng,
-                attend_limit=attend_limit,
+                params, lm_k, lm_v, rest0, rng, attend_limit=attend_limit
             )
-            return rest._replace(k=state.k, v=state.v), out
+            return _merge_lm(lm_k, lm_v, rest), out
 
         self._decode = decode_wrapped
         self._admit_cache: Dict[Tuple[int, int], callable] = {}
@@ -240,6 +252,12 @@ class DecodeEngine:
                     pos=state.pos.at[slots].set(sub.pos),
                     prev_tokens=state.prev_tokens.at[slots].set(sub.prev_tokens),
                     finished=state.finished.at[slots].set(sub.finished),
+                    k_scale=None
+                    if state.k_scale is None
+                    else state.k_scale.at[:, slots].set(sub.k_scale),
+                    v_scale=None
+                    if state.v_scale is None
+                    else state.v_scale.at[:, slots].set(sub.v_scale),
                 )
                 return new_state, out
 
@@ -260,7 +278,13 @@ class DecodeEngine:
             )
 
             def fn(mimi_params, mstate, slots, codes):
-                sub = decode_stream_init(self.mimi_cfg, n_new, dtype=mstate.upsample_tail.dtype)
+                kv8 = mstate.transformer.k_scale is not None
+                sub = decode_stream_init(
+                    self.mimi_cfg,
+                    n_new,
+                    dtype=mstate.upsample_tail.dtype,
+                    kv_dtype=jnp.int8 if kv8 else None,
+                )
                 sub, pcm = mimi_decode_step(
                     mimi_params, self.mimi_cfg, sub, codes[:, :, None]
                 )

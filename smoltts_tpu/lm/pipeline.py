@@ -57,20 +57,33 @@ def _donate_names(*names):
 
 
 def _split_lm(state: DecodeState):
-    return state.k, state.v, state._replace(k=None, v=None)
+    """Split out the read-only history buffers. In kv8 mode the per-vector
+    scales ride along as (k, k_scale) / (v, v_scale) tuples (pytrees), so
+    every split/merge call site is mode-agnostic."""
+    k = (state.k, state.k_scale)
+    v = (state.v, state.v_scale)
+    return k, v, state._replace(k=None, v=None, k_scale=None, v_scale=None)
 
 
 def _merge_lm(k, v, rest: DecodeState) -> DecodeState:
-    return rest._replace(k=k, v=v)
+    return rest._replace(k=k[0], v=v[0], k_scale=k[1], v_scale=v[1])
 
 
 def _split_mimi(ms: MimiStreamState):
     t = ms.transformer
-    return t.k, t.v, ms._replace(transformer=t._replace(k=None, v=None))
+    k = (t.k, t.k_scale)
+    v = (t.v, t.v_scale)
+    return k, v, ms._replace(
+        transformer=t._replace(k=None, v=None, k_scale=None, v_scale=None)
+    )
 
 
 def _merge_mimi(k, v, ms: MimiStreamState) -> MimiStreamState:
-    return ms._replace(transformer=ms.transformer._replace(k=k, v=v))
+    return ms._replace(
+        transformer=ms.transformer._replace(
+            k=k[0], v=v[0], k_scale=k[1], v_scale=v[1]
+        )
+    )
 
 
 class StreamStepOutput(NamedTuple):

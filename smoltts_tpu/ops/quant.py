@@ -86,6 +86,24 @@ def qindex(w: Weight, i) -> Weight:
     return w[i]
 
 
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-vector int8 over the trailing head_dim axis.
+
+    Used for KV-cache quantization (kv8): each cached key/value vector gets
+    its own scale, so attention dequantizes by scaling LOGITS (keys) or
+    PROBS (values) — the int8->bf16 convert fuses into the dot's operand
+    read exactly like the weight path, halving KV HBM traffic.
+
+    Returns (q int8 shaped like x, scale float32 with the trailing axis
+    reduced away).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)
+
+
 _TRUNK_KEYS = ("wqkv", "wo", "w1", "w2", "w3")
 
 

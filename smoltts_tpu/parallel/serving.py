@@ -41,6 +41,8 @@ def decode_state_shardings(mesh: Mesh, state: DecodeState) -> DecodeState:
         k=kv, v=kv, k_tail=kv, v_tail=kv,
         tail_pos=b0, flushed=b0, phase=rep, pos=b0,
         prev_tokens=b0, finished=b0,
+        k_scale=None if state.k_scale is None else kv,
+        v_scale=None if state.v_scale is None else kv,
     )
 
 
@@ -56,6 +58,8 @@ def mimi_state_shardings(mesh: Mesh, state: MimiStreamState) -> MimiStreamState:
     transformer = t._replace(
         k=ring, v=ring, slot_pos=b0, k_tail=ring, v_tail=ring,
         tail_abs=b0, t_phase=rep, pos=b0,
+        k_scale=None if t.k_scale is None else ring,
+        v_scale=None if t.v_scale is None else ring,
     )
     decoder = jax.tree.map(lambda _: b0, state.decoder)
     return MimiStreamState(
