@@ -72,6 +72,13 @@ def main():
     # opts out): LM trunks + heads and the codec transformers run int8
     # (ops/quant.py), halving the per-frame HBM weight traffic. Quality is
     # gated by tests/test_int8_gate.py (CE delta, token KL, vocoder SNR).
+    # Decode-path weight fusion (bit-exact): SwiGLU gate/up -> w13, codec
+    # transformer q/k/v -> wqkv. Fewer, larger MXU ops per frame.
+    from smoltts_tpu.ops.quant import fuse_decode_params, fuse_mimi_decode_params
+
+    params = fuse_decode_params(params)
+    mimi_params = fuse_mimi_decode_params(mimi_params)
+
     quantized = os.environ.get("BENCH_INT8", "1") != "0"
     if quantized:
         from smoltts_tpu.ops.quant import quantize_decode_params, quantize_mimi_params
@@ -212,6 +219,7 @@ def main():
         num_slots=B, max_seq_len=S, kv_dtype=kv_dtype,
         prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
         inflight=2, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "8")),
+        emit_int16=True,  # PCM16 conversion on device: 4x cheaper fetches
     )
     # Warmup must cover EVERY program the measured run hits: admission,
     # decode, the first batched result fetch (transfer-path setup on

@@ -79,9 +79,9 @@ def boot_server(num_slots: int, frames_per_req: int, fetch_every: int, port: int
 
     engine = DecodeEngine(
         model.params, model.config, model.token_config, model.generation_settings,
-        num_slots=num_slots, kv_dtype=jnp.bfloat16,
+        num_slots=num_slots, kv_dtype=jnp.int8,
         mimi_params=model.codec_params, mimi_cfg=model.codec_config,
-        inflight=2, fetch_every=fetch_every,
+        inflight=2, fetch_every=fetch_every, emit_int16=True,
     )
     metrics = ServingMetrics()
     app = build_app(TTSCore(model), engine_loop=EngineLoop(engine), metrics=metrics)

@@ -74,6 +74,11 @@ class SmolTTS:
             self.model_type, self.tokenizer, self.config
         )
         self.params = load_params(checkpoint_dir, self.config, dtype=dtype)
+        # Decode-path weight fusion (bit-exact; this params tree only ever
+        # decodes — training loads its own).
+        from smoltts_tpu.ops.quant import fuse_decode_params
+
+        self.params = fuse_decode_params(self.params)
         if quantize in ("int8", "int8+kv8"):
             from smoltts_tpu.ops.quant import quantize_decode_params
 
@@ -90,6 +95,9 @@ class SmolTTS:
             mimi_path = candidate if candidate.exists() else None
         if mimi_path is not None:
             self.codec_params, self.codec_config = load_mimi(mimi_path, dtype=dtype)
+            from smoltts_tpu.ops.quant import fuse_mimi_decode_params
+
+            self.codec_params = fuse_mimi_decode_params(self.codec_params)
 
         self.sampling_rate = self.codec_config.sampling_rate
         self._rng = jax.random.PRNGKey(0)

@@ -158,6 +158,22 @@ def _mha(q, k, v, mask, scale):
     return out.reshape(*q.shape[:2], -1)
 
 
+def _qkv(h, lp, B, T, H, hd):
+    """Q/K/V projections; takes the fused wqkv when present
+    (ops/quant.py::fuse_mimi_decode_params — one dot, bit-exact)."""
+    if "wqkv" in lp:
+        qkv = mm(h, lp["wqkv"])
+        D = H * hd
+        q, k, v = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
+    else:
+        q, k, v = mm(h, lp["wq"]), mm(h, lp["wk"]), mm(h, lp["wv"])
+    return (
+        q.reshape(B, T, H, hd),
+        k.reshape(B, T, H, hd),
+        v.reshape(B, T, H, hd),
+    )
+
+
 def _block(x, lp, cfg: MimiConfig, attn_fn):
     """One pre-norm block with LayerScale (transformer.py:109-131)."""
     h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
@@ -185,9 +201,7 @@ def transformer_forward(
     scale = hd**-0.5
 
     def attn(h, lp):
-        q = mm(h, lp["wq"]).reshape(B, T, H, hd)
-        k = mm(h, lp["wk"]).reshape(B, T, H, hd)
-        v = mm(h, lp["wv"]).reshape(B, T, H, hd)
+        q, k, v = _qkv(h, lp, B, T, H, hd)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
         return mm(_mha(q, k, v, mask, scale), lp["wo"])
@@ -243,9 +257,7 @@ def transformer_stream_step(
     for l in range(L):
         lp = jax.tree.map(lambda a: a[l], params["layers"])
         hn = _layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.norm_eps)
-        q = mm(hn, lp["wq"]).reshape(B, T, H, hd)
-        k = mm(hn, lp["wk"]).reshape(B, T, H, hd)
-        v = mm(hn, lp["wv"]).reshape(B, T, H, hd)
+        q, k, v = _qkv(hn, lp, B, T, H, hd)
         q = _apply_rope_half(q, cos, sin)
         k = _apply_rope_half(k, cos, sin)
         k_tail = jax.lax.dynamic_update_slice(

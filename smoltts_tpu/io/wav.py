@@ -11,6 +11,8 @@ import numpy as np
 
 
 def pcm_to_int16(pcm: np.ndarray) -> np.ndarray:
+    if np.asarray(pcm).dtype == np.int16:  # already device-converted (engine)
+        return np.asarray(pcm)
     try:
         from smoltts_tpu.native.audio_io import f32_to_i16, native_audio_available
 

@@ -173,6 +173,17 @@ def flush_kv(state: DecodeState) -> DecodeState:
     )
 
 
+def _mlp(hn: jnp.ndarray, lp: dict) -> jnp.ndarray:
+    """SwiGLU that takes the fused gate/up weight when present
+    (ops/quant.py::fuse_decode_params — one [dim, 2*ffn] dot instead of two,
+    bit-exact)."""
+    if "w13" in lp:
+        y = mm(hn, lp["w13"])
+        a, b = jnp.split(y, 2, axis=-1)
+        return mm(jax.nn.silu(a) * b, lp["w2"])
+    return swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+
+
 # --------------------------------------------------------------------------
 # Cached attention primitives
 # --------------------------------------------------------------------------
@@ -296,7 +307,7 @@ def _decode_trunk(
             ]
         h = h + mm(att, lp["wo"])
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
-        h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+        h = h + _mlp(hn, lp)
         out = (kc, vc, ksc, vsc) if kv8 else (kc, vc)
         return h, out
 
@@ -383,7 +394,7 @@ def _decode_trunk_tailed(
         )[:, None, :]
         h = h + mm(att, lp["wo"])
         hn = rms_norm(h, lp["ffn_norm"], norm_eps)
-        h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+        h = h + _mlp(hn, lp)
     return h, k_tail, v_tail
 
 
@@ -495,7 +506,7 @@ def _fast_micro_loop(
             att = att.reshape(B, 1, fdims.n_head * fdims.head_dim)
             h = h + mm(att, lp["wo"])
             hn = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-            h = h + swiglu(hn, lp["w1"], lp["w3"], lp["w2"])
+            h = h + _mlp(hn, lp)
 
         fast_out = rms_norm(h[:, 0], params["fast_norm"], cfg.norm_eps)
         w_i = qindex(w_out, i) if cfg.depthwise_output else w_out

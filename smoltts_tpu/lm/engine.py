@@ -69,8 +69,18 @@ class DecodeEngine:
         attend_buckets: Optional[List[int]] = None,
         inflight: int = 2,
         fetch_every: int = 1,
+        emit_int16: bool = False,
     ):
-        self.params = params
+        # emit_int16: convert vocoded PCM to int16 ON DEVICE — the stream
+        # route serves PCM16 anyway, and the result fetch moves 4x fewer
+        # bytes over the host link (which gates served throughput on
+        # tunneled runtimes). Off by default so frame["pcm"] stays float for
+        # library consumers.
+        self.emit_int16 = bool(emit_int16)
+        from smoltts_tpu.ops.quant import fuse_decode_params
+
+        # Decode-path weight fusion (bit-exact; ops/quant.py).
+        self.params = fuse_decode_params(params)
         self.cfg = cfg
         self.token_cfg = token_cfg
         self.settings = settings
@@ -131,6 +141,10 @@ class DecodeEngine:
 
         # Optional slot-batched vocoder: Mimi streaming state lives on the
         # same slots; frames are vocoded inside the decode dispatch.
+        if mimi_params is not None:
+            from smoltts_tpu.ops.quant import fuse_mimi_decode_params
+
+            mimi_params = fuse_mimi_decode_params(mimi_params)
         self.mimi_params = mimi_params
         self.mimi_cfg = mimi_cfg
         self.mimi_state = None
@@ -152,15 +166,26 @@ class DecodeEngine:
 
                 state = _merge_lm(lm_k, lm_v, rest)
                 mstate = _merge_mimi(ring_k, ring_v, mrest)
+                # The PRNG key is split INSIDE the program and threaded
+                # through the return value (same key sequence as a host-side
+                # split, but no per-frame host work that would serialize the
+                # dispatch pipeline — see make_stream_step).
+                rng, sub = jax.random.split(rng)
                 state, out = decode_frame(
-                    params, cfg, token_cfg, settings, state, rng, attend_limit=attend_limit
+                    params, cfg, token_cfg, settings, state, sub, attend_limit=attend_limit
                 )
                 mstate, pcm = mimi_decode_step(
                     mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
                 )
+                if self.emit_int16:
+                    # PCM16 on device: the stream route sends int16 anyway,
+                    # and the fetch moves 4x fewer bytes over the host link.
+                    pcm = (jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0).astype(
+                        jnp.int16
+                    )
                 _, _, rest = _split_lm(state)
                 _, _, mrest = _split_mimi(mstate)
-                return rest, mrest, out, pcm
+                return rest, mrest, out, pcm, rng
 
             _decode_vocode_jit = jax.jit(decode_vocode, static_argnames=("attend_limit",))
 
@@ -169,11 +194,11 @@ class DecodeEngine:
 
                 lm_k, lm_v, rest = _split_lm(state)
                 ring_k, ring_v, mrest = _split_mimi(mstate)
-                rest, mrest, out, pcm = _decode_vocode_jit(
+                rest, mrest, out, pcm, rng = _decode_vocode_jit(
                     params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng,
                     attend_limit=attend_limit,
                 )
-                return _merge_lm(lm_k, lm_v, rest), _merge_mimi(ring_k, ring_v, mrest), out, pcm
+                return _merge_lm(lm_k, lm_v, rest), _merge_mimi(ring_k, ring_v, mrest), out, pcm, rng
 
             self._decode_vocode = decode_vocode_wrapped
 
@@ -181,11 +206,12 @@ class DecodeEngine:
             from smoltts_tpu.lm.pipeline import _merge_lm, _split_lm
 
             state = _merge_lm(lm_k, lm_v, rest)
+            rng, sub = jax.random.split(rng)
             state, out = decode_frame(
-                params, cfg, token_cfg, settings, state, rng, attend_limit=attend_limit
+                params, cfg, token_cfg, settings, state, sub, attend_limit=attend_limit
             )
             _, _, rest = _split_lm(state)
-            return rest, out
+            return rest, out, rng
 
         _decode_jit = jax.jit(decode_only, static_argnames=("attend_limit",))
 
@@ -193,10 +219,10 @@ class DecodeEngine:
             from smoltts_tpu.lm.pipeline import _merge_lm, _split_lm
 
             lm_k, lm_v, rest0 = _split_lm(state)
-            rest, out = _decode_jit(
+            rest, out, rng = _decode_jit(
                 params, lm_k, lm_v, rest0, rng, attend_limit=attend_limit
             )
-            return _merge_lm(lm_k, lm_v, rest), out
+            return _merge_lm(lm_k, lm_v, rest), out, rng
 
         self._decode = decode_wrapped
         self._admit_cache: Dict[Tuple[int, int], callable] = {}
@@ -288,6 +314,10 @@ class DecodeEngine:
                 sub, pcm = mimi_decode_step(
                     mimi_params, self.mimi_cfg, sub, codes[:, :, None]
                 )
+                if self.emit_int16:
+                    pcm = (
+                        jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
                 return scatter_stream_state(mstate, sub, slots), pcm
 
             self._admit_vocode_cache[n_new] = jax.jit(fn)
@@ -430,7 +460,6 @@ class DecodeEngine:
             if self._since_flush >= self._flush_every:
                 self.state, self.mimi_state = self._flush(self.state, self.mimi_state)
                 self._since_flush = 0
-            self.rng, sub = jax.random.split(self.rng)
             # Smallest compiled bucket covering every live position (each step
             # attends positions < pos plus the current token): freed slots'
             # device positions keep advancing but their output is masked, so
@@ -439,12 +468,18 @@ class DecodeEngine:
             lim = next(b for b in self.attend_buckets if b >= min(needed, self.S))
             self.last_attend_limit = lim
             pcm = None
+            # The key splits INSIDE the frame program (threaded through its
+            # return): a host-side jax.random.split per frame costs ~15 ms
+            # through a tunneled runtime and serializes the pipeline.
             if self.mimi_state is not None:
-                self.state, self.mimi_state, out, pcm = self._decode_vocode(
-                    self.params, self.mimi_params, self.state, self.mimi_state, sub, lim
+                self.state, self.mimi_state, out, pcm, self.rng = self._decode_vocode(
+                    self.params, self.mimi_params, self.state, self.mimi_state,
+                    self.rng, lim,
                 )
             else:
-                self.state, out = self._decode(self.params, self.state, sub, lim)
+                self.state, out, self.rng = self._decode(
+                    self.params, self.state, self.rng, lim
+                )
             for slot, _ in live_slots:
                 self._slot_pos[slot] += 1
             self._since_flush += 1

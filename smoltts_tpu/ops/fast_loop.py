@@ -51,6 +51,7 @@ def supports_fused_fast(cfg: DualARConfig, params: dict) -> bool:
         and cfg.duplicate_code_0
         and not cfg.fast_attention_qkv_bias
         and isinstance(params.get("fast_layers", {}).get("wqkv"), QTensor)
+        and "w1" in params.get("fast_layers", {})  # not w13-fused (fuse_decode_params)
         and isinstance(params.get("fast_output"), QTensor)
         and cfg.fast_n_head % cfg.fast_n_local_heads == 0
         and cfg.fast_head_dim % 2 == 0

@@ -119,8 +119,9 @@ def quantize_decode_params(params: dict) -> dict:
     out = dict(params)
     for trunk in ("layers", "fast_layers"):
         lp = dict(params[trunk])
-        for key in _TRUNK_KEYS:
-            lp[key] = quantize_q8(lp[key], contract_axis=-2)
+        for key in _TRUNK_KEYS + ("w13",):  # w13: fused gate/up (fuse_decode_params)
+            if key in lp and not isinstance(lp[key], QTensor):
+                lp[key] = quantize_q8(lp[key], contract_axis=-2)
         out[trunk] = lp
     out["fast_output"] = quantize_q8(params["fast_output"], contract_axis=-2)
     if "fast_project_in" in params:
@@ -129,6 +130,50 @@ def quantize_decode_params(params: dict) -> dict:
         out["fast_project_in"] = fpi
     if "output" in params:
         out["output"] = quantize_q8(params["output"], contract_axis=-2)
+    return out
+
+
+def _concat_w(ws, axis=-1):
+    """Concatenate weights along the OUTPUT axis — exact for both plain
+    arrays and per-output-channel QTensors (each output column's reduction
+    is unchanged, so the fused dot is bit-identical to the separate dots)."""
+    if isinstance(ws[0], QTensor):
+        return QTensor(
+            q=jnp.concatenate([w.q for w in ws], axis=axis),
+            scale=jnp.concatenate([w.scale for w in ws], axis=axis),
+        )
+    return jnp.concatenate(ws, axis=axis)
+
+
+def fuse_decode_params(params: dict) -> dict:
+    """Fuse the SwiGLU gate/up projections (w1, w3 -> w13) for the decode
+    hot path: one [dim, 2*ffn] matmul instead of two [dim, ffn] ones per
+    layer per (micro-)step — fewer, larger MXU ops. Bit-exact (output
+    columns are computed identically); the decode trunks branch on the
+    "w13" key (lm/decode.py). Composes with int8 weights in either order.
+    Idempotent; training trees are never fused (forward_train uses w1/w3).
+    """
+    out = dict(params)
+    for trunk in ("layers", "fast_layers"):
+        if trunk not in params or "w13" in params[trunk]:
+            continue
+        lp = dict(params[trunk])
+        lp["w13"] = _concat_w([lp.pop("w1"), lp.pop("w3")])
+        out[trunk] = lp
+    return out
+
+
+def fuse_mimi_decode_params(params: dict) -> dict:
+    """Fuse the codec transformers' q/k/v projections into one wqkv matmul
+    (3x fewer attention-projection ops per stream step). Bit-exact; the
+    codec transformer branches on the "wqkv" key. Idempotent."""
+    out = dict(params)
+    for trunk in ("encoder_transformer", "decoder_transformer"):
+        if trunk not in params or "wqkv" in params[trunk]["layers"]:
+            continue
+        lp = dict(params[trunk]["layers"])
+        lp["wqkv"] = _concat_w([lp.pop("wq"), lp.pop("wk"), lp.pop("wv")])
+        out[trunk] = {**params[trunk], "layers": lp}
     return out
 
 
@@ -145,7 +190,8 @@ def quantize_mimi_params(params: dict) -> dict:
         if trunk not in params:
             continue
         lp = dict(params[trunk]["layers"])
-        for key in _MIMI_LINEARS:
-            lp[key] = quantize_q8(lp[key], contract_axis=-2)
+        for key in _MIMI_LINEARS + ("wqkv",):  # wqkv: fused (fuse_mimi_decode_params)
+            if key in lp and not isinstance(lp[key], QTensor):
+                lp[key] = quantize_q8(lp[key], contract_axis=-2)
         out[trunk] = {**params[trunk], "layers": lp}
     return out

@@ -177,6 +177,7 @@ def build_engine_loop(
         mimi_cfg=m.codec_config,
         inflight=inflight,
         fetch_every=fetch_every,
+        emit_int16=True,  # the stream route serves PCM16; 4x cheaper fetches
     )
     return EngineLoop(engine)
 

@@ -90,3 +90,30 @@ def test_engine_pcm_matches_single_stream():
         assert len(got) == len(ref)
         for g, r in zip(got, ref):
             np.testing.assert_allclose(g, r, rtol=2e-4, atol=1e-5)
+
+
+def test_engine_emit_int16():
+    """emit_int16=True converts PCM on device; values match the float path
+    to 1 LSB of int16 (the serving/bench configuration)."""
+    cfg, token_cfg, params, mimi_cfg, mimi_params = setup()
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=3)
+    prompt = audio_prompt(cfg, token_cfg, 6, 0)
+    ref = single_stream_pcm(cfg, token_cfg, params, mimi_cfg, mimi_params, prompt, 3, settings)
+
+    engine = DecodeEngine(
+        params, cfg, token_cfg, settings, num_slots=1, max_seq_len=64,
+        kv_dtype=jnp.float32, prompt_bucket=8,
+        mimi_params=mimi_params, mimi_cfg=mimi_cfg, emit_int16=True,
+    )
+    sid = engine.submit(prompt)
+    got = []
+    for _ in range(20):
+        for s, frame in engine.step():
+            assert frame["pcm"].dtype == np.int16
+            got.append(frame["pcm"])
+        if not engine.has_work():
+            break
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        expect = np.clip(np.asarray(r, np.float32), -1, 1) * 32767.0
+        np.testing.assert_allclose(g.astype(np.float32), expect, atol=1.0)
