@@ -218,8 +218,12 @@ def main():
         params, cfg, token_cfg, settings,
         num_slots=B, max_seq_len=S, kv_dtype=kv_dtype,
         prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
-        inflight=2, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "8")),
+        inflight=2, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "2")),
         emit_int16=True,  # PCM16 conversion on device: 4x cheaper fetches
+        # Adaptive chunked dispatch: K frames per program while no admissions
+        # wait (single-frame during admission waves) — dispatch/fetch
+        # overhead drops K-fold, the host-link bottleneck for SERVED.
+        chunk_frames=int(os.environ.get("BENCH_SERVED_CHUNK", "8")),
     )
     # Warmup must cover EVERY program the measured run hits: admission,
     # decode, the first batched result fetch (transfer-path setup on

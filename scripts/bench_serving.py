@@ -82,6 +82,7 @@ def boot_server(num_slots: int, frames_per_req: int, fetch_every: int, port: int
         num_slots=num_slots, kv_dtype=jnp.int8,
         mimi_params=model.codec_params, mimi_cfg=model.codec_config,
         inflight=2, fetch_every=fetch_every, emit_int16=True,
+        chunk_frames=4,
     )
     metrics = ServingMetrics()
     app = build_app(TTSCore(model), engine_loop=EngineLoop(engine), metrics=metrics)

@@ -70,7 +70,15 @@ class DecodeEngine:
         inflight: int = 2,
         fetch_every: int = 1,
         emit_int16: bool = False,
+        chunk_frames: int = 1,
     ):
+        # chunk_frames > 1 enables ADAPTIVE CHUNKED DISPATCH: when no
+        # admissions are pending, one device program advances K frames
+        # (lax.scan) — per-frame dispatch/fetch overhead drops K-fold, which
+        # is what gates served throughput on high-RTT runtimes. Admissions
+        # force single-frame dispatches, so a queued prompt waits at most
+        # the in-flight chunks (~inflight*K frames) before prefilling.
+        self.chunk_frames = max(1, int(chunk_frames))
         # emit_int16: convert vocoded PCM to int16 ON DEVICE — the stream
         # route serves PCM16 anyway, and the result fetch moves 4x fewer
         # bytes over the host link (which gates served throughput on
@@ -202,6 +210,59 @@ class DecodeEngine:
 
             self._decode_vocode = decode_vocode_wrapped
 
+            def decode_vocode_chunk(params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng, attend_limit):
+                from smoltts_tpu.codec.mimi import mimi_decode_step
+                from smoltts_tpu.lm.pipeline import _merge_lm, _merge_mimi, _split_lm, _split_mimi
+
+                def body(carry, _):
+                    rest, mrest, rng = carry
+                    state = _merge_lm(lm_k, lm_v, rest)
+                    mstate = _merge_mimi(ring_k, ring_v, mrest)
+                    rng, sub = jax.random.split(rng)
+                    state, out = decode_frame(
+                        params, cfg, token_cfg, settings, state, sub,
+                        attend_limit=attend_limit,
+                    )
+                    mstate, pcm = mimi_decode_step(
+                        mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
+                    )
+                    if self.emit_int16:
+                        pcm = (
+                            jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                        ).astype(jnp.int16)
+                    _, _, rest = _split_lm(state)
+                    _, _, mrest = _split_mimi(mstate)
+                    return (rest, mrest, rng), (
+                        out.audio_codes, out.is_audio, out.finished, pcm
+                    )
+
+                (rest, mrest, rng), (codes, is_audio, fin, pcm) = jax.lax.scan(
+                    body, (rest, mrest, rng), None, length=self.chunk_frames
+                )
+                # Frame-major [K, B, ...] — accounting iterates frames.
+                return rest, mrest, (codes, is_audio, fin), pcm, rng
+
+            _chunk_jit = jax.jit(decode_vocode_chunk, static_argnames=("attend_limit",))
+
+            def chunk_wrapped(params, mimi_params, state, mstate, rng, attend_limit):
+                from smoltts_tpu.lm.pipeline import _merge_lm, _merge_mimi, _split_lm, _split_mimi
+
+                lm_k, lm_v, rest = _split_lm(state)
+                ring_k, ring_v, mrest = _split_mimi(mstate)
+                rest, mrest, outs, pcm, rng = _chunk_jit(
+                    params, mimi_params, lm_k, lm_v, ring_k, ring_v, rest, mrest, rng,
+                    attend_limit=attend_limit,
+                )
+                return (
+                    _merge_lm(lm_k, lm_v, rest),
+                    _merge_mimi(ring_k, ring_v, mrest),
+                    outs,
+                    pcm,
+                    rng,
+                )
+
+            self._decode_vocode_chunk = chunk_wrapped
+
         def decode_only(params, lm_k, lm_v, rest, rng, attend_limit):
             from smoltts_tpu.lm.pipeline import _merge_lm, _split_lm
 
@@ -234,6 +295,9 @@ class DecodeEngine:
         self._flush = make_flush_step()
         self._since_flush = 0
         self._flush_every = flush_cadence(self.state, self.mimi_state)
+        # A chunk's K in-scan frames all land in the ring tails before the
+        # next flush opportunity.
+        self.chunk_frames = min(self.chunk_frames, max(1, self._flush_every))
 
     # ------------------------------------------------------------------
 
@@ -364,7 +428,11 @@ class DecodeEngine:
                     out.audio_codes,
                 )
             # (row index in out) -> stream id, in submission order
-            self._queue.append((out, pcm0, [(i, sid) for i, (sid, _) in enumerate(batch)]))
+            self._queue.append((
+                (out.audio_codes, out.is_audio, out.finished, pcm0),
+                [(i, sid) for i, (sid, _) in enumerate(batch)],
+                1,
+            ))
 
     def _bookkeep(self, sid: int, frame: dict) -> Optional[dict]:
         """Account one fetched frame; None = drop (stream already released —
@@ -385,26 +453,34 @@ class DecodeEngine:
         whole batch. Pure device I/O — safe to run OUTSIDE the engine lock,
         concurrently with dispatching (EngineLoop overlaps the two threads so
         the round-trip latency doesn't gate throughput)."""
-        return jax.device_get(
-            [(r[0].audio_codes, r[0].is_audio, r[0].finished, r[1]) for r in records]
-        )
+        return jax.device_get([r[0] for r in records])
 
     def account(self, records: list, fetched: list) -> List[Tuple[int, dict]]:
         """Lagged bookkeeping over fetched results, in dispatch order.
-        Mutates engine state (eviction, slot reuse) — call under the lock."""
+        Mutates engine state (eviction, slot reuse) — call under the lock.
+
+        A record holds 1 frame ([B, ...] payload) or a chunk of K frames
+        (frame-major [K, B, ...]); frames emit in order per stream."""
         emitted = []
-        for (codes, is_audio, fin, pcm), (_, _, rows) in zip(fetched, records):
-            for row, sid in rows:
-                frame = {
-                    "audio_codes": codes[row],
-                    "is_audio": bool(is_audio[row]),
-                    "finished": bool(fin[row]),
-                }
-                if pcm is not None:
-                    frame["pcm"] = pcm[row, :, 0]
-                frame = self._bookkeep(sid, frame)
-                if frame is not None:
-                    emitted.append((sid, frame))
+        for (codes, is_audio, fin, pcm), (_, rows, n_frames) in zip(fetched, records):
+            for k in range(n_frames):
+                ck, ak, fk = (
+                    (codes, is_audio, fin)
+                    if n_frames == 1
+                    else (codes[k], is_audio[k], fin[k])
+                )
+                pk = pcm if (pcm is None or n_frames == 1) else pcm[k]
+                for row, sid in rows:
+                    frame = {
+                        "audio_codes": ck[row],
+                        "is_audio": bool(ak[row]),
+                        "finished": bool(fk[row]),
+                    }
+                    if pk is not None:
+                        frame["pcm"] = pk[row, :, 0]
+                    frame = self._bookkeep(sid, frame)
+                    if frame is not None:
+                        emitted.append((sid, frame))
         return emitted
 
     def take_due(self) -> list:
@@ -457,33 +533,55 @@ class DecodeEngine:
 
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
-            if self._since_flush >= self._flush_every:
+            # Adaptive chunking: advance K frames per dispatch while no
+            # admissions wait (K-fold fewer dispatch/fetch round trips);
+            # drop to single frames when a prompt is queued so it prefills
+            # within one dispatch.
+            K = 1
+            if (
+                self.chunk_frames > 1
+                and not self._pending
+                and self.mimi_state is not None
+            ):
+                K = self.chunk_frames
+            if self._since_flush + K > self._flush_every:
                 self.state, self.mimi_state = self._flush(self.state, self.mimi_state)
                 self._since_flush = 0
             # Smallest compiled bucket covering every live position (each step
             # attends positions < pos plus the current token): freed slots'
             # device positions keep advancing but their output is masked, so
             # they don't hold the bucket up.
-            needed = int(max(self._slot_pos[slot] for slot, _ in live_slots)) + 1
+            needed = int(max(self._slot_pos[slot] for slot, _ in live_slots)) + K
             lim = next(b for b in self.attend_buckets if b >= min(needed, self.S))
             self.last_attend_limit = lim
             pcm = None
             # The key splits INSIDE the frame program (threaded through its
             # return): a host-side jax.random.split per frame costs ~15 ms
             # through a tunneled runtime and serializes the pipeline.
-            if self.mimi_state is not None:
+            if K > 1:
+                self.state, self.mimi_state, out, pcm, self.rng = (
+                    self._decode_vocode_chunk(
+                        self.params, self.mimi_params, self.state, self.mimi_state,
+                        self.rng, lim,
+                    )
+                )
+            elif self.mimi_state is not None:
                 self.state, self.mimi_state, out, pcm, self.rng = self._decode_vocode(
                     self.params, self.mimi_params, self.state, self.mimi_state,
                     self.rng, lim,
                 )
+                out = (out.audio_codes, out.is_audio, out.finished)
             else:
                 self.state, out, self.rng = self._decode(
                     self.params, self.state, self.rng, lim
                 )
+                out = (out.audio_codes, out.is_audio, out.finished)
             for slot, _ in live_slots:
-                self._slot_pos[slot] += 1
-            self._since_flush += 1
-            self._queue.append((out, pcm, [(s, sid) for s, sid in live_slots]))
+                self._slot_pos[slot] += K
+            self._since_flush += K
+            self._queue.append((
+                (*out, pcm), [(s, sid) for s, sid in live_slots], K
+            ))
 
     def has_work(self) -> bool:
         return bool(self._pending or self._slot_to_stream or self._queue)

@@ -158,12 +158,19 @@ def load_core(settings: ServerSettings) -> TTSCore:
 
 
 def build_engine_loop(
-    core: TTSCore, num_slots: int = 32, inflight: int = 2, fetch_every: int = 1
+    core: TTSCore,
+    num_slots: int = 32,
+    inflight: int = 2,
+    fetch_every: int = 1,
+    chunk_frames: int = 4,
 ):
     """Continuous-batched decode engine + vocoder over the loaded model.
 
     On hosts with a high device round-trip latency (tunneled runtimes) raise
-    `fetch_every` so one fetch covers several frames (see lm/engine.py)."""
+    `fetch_every` so one fetch covers several frames (see lm/engine.py).
+    `chunk_frames` enables adaptive chunked dispatch (K frames per program
+    while no admissions wait) — per-frame dispatch overhead drops K-fold at
+    the cost of up to inflight*K*80 ms extra admission latency under load."""
     from smoltts_tpu.lm.engine import DecodeEngine, EngineLoop
 
     m = core.model
@@ -178,6 +185,7 @@ def build_engine_loop(
         inflight=inflight,
         fetch_every=fetch_every,
         emit_int16=True,  # the stream route serves PCM16; 4x cheaper fetches
+        chunk_frames=chunk_frames,
     )
     return EngineLoop(engine)
 

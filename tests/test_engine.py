@@ -185,3 +185,49 @@ def test_attend_bucket_with_vocoder():
             break
     assert len(pcm_frames) == 6
     assert engine.last_attend_limit in (16, 64)
+
+
+def test_chunked_dispatch_matches_single_frame():
+    """chunk_frames > 1 (adaptive chunked dispatch) must emit the exact same
+    greedy frame sequence as single-frame dispatch, including the vocoded
+    PCM and mid-chunk stream completion."""
+    from smoltts_tpu.codec.config import MimiConfig
+    from smoltts_tpu.codec.mimi import init_mimi_params
+
+    cfg, token_cfg, params = setup()
+    mimi_cfg = MimiConfig(
+        num_filters=8, upsampling_ratios=[4, 3, 2], hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, head_dim=16,
+        intermediate_size=64, codebook_size=CB, codebook_dim=16,
+        num_quantizers=8, upsample_groups=32, frame_rate=500.0,
+    )
+    mimi_params = init_mimi_params(mimi_cfg, seed=1)
+    settings = GenerationSettings(
+        default_temp=0.0, default_fast_temp=0.0, max_new_tokens=7
+    )
+    prompts = [audio_prompt(cfg, token_cfg, 6, s) for s in range(2)]
+
+    def run(chunk):
+        engine = DecodeEngine(
+            params, cfg, token_cfg, settings, num_slots=2, max_seq_len=64,
+            kv_dtype=jnp.float32, prompt_bucket=8,
+            mimi_params=mimi_params, mimi_cfg=mimi_cfg, chunk_frames=chunk,
+        )
+        sids = [engine.submit(p) for p in prompts]
+        got = {sid: [] for sid in sids}
+        for _ in range(40):
+            for sid, frame in engine.step():
+                got[sid].append(frame)
+            if not engine.has_work():
+                break
+        assert not engine.has_work()
+        return sids, got
+
+    sids1, ref = run(1)
+    sids4, chunked = run(4)
+    for s1, s4 in zip(sids1, sids4):
+        assert len(ref[s1]) == len(chunked[s4])
+        for a, b in zip(ref[s1], chunked[s4]):
+            np.testing.assert_array_equal(a["audio_codes"], b["audio_codes"])
+            assert a["finished"] == b["finished"]
+            np.testing.assert_allclose(a["pcm"], b["pcm"], rtol=2e-4, atol=1e-5)
