@@ -22,7 +22,7 @@ import queue
 import threading
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,9 +45,33 @@ from smoltts_tpu.tokenizer import TokenConfig
 class StreamHandle:
     stream_id: int
     slot: int
-    frames_emitted: int = 0
+    frames_emitted: int = 0  # fetched + accounted frames
+    frames_dispatched: int = 0  # frames enqueued on device (runs ahead)
     max_frames: int = 1024
     done: bool = False
+
+
+class Record(NamedTuple):
+    """One dispatched device step awaiting its result fetch.
+
+    `urgent` marks admission records — they hold a just-admitted stream's
+    FIRST frame, so `take_due` releases them immediately instead of holding
+    them `inflight` dispatches behind (first-audio latency would otherwise
+    grow by inflight * chunk_frames * frame-time). Fetching an admission
+    record ahead of older queued records is safe: it is, by construction,
+    the first record mentioning its streams, and frames of other streams
+    keep their dispatch order within their own records."""
+
+    payload: tuple  # device arrays: (codes, is_audio, finished, slow, pcm)
+    rows: list  # [(row index in payload, stream id)]
+    n_frames: int  # 1 or chunk K (payload frame-major [K, B, ...])
+    urgent: bool = False
+    # Dispatch sequence number for NON-urgent records (None for urgent ones):
+    # parallel fetchers must account non-urgent records in dispatch order —
+    # they all carry frames of the same live slots — while urgent records
+    # (a stream's first frame, no earlier record can mention it) may account
+    # the moment their fetch lands.
+    seq: Optional[int] = None
 
 
 class DecodeEngine:
@@ -71,6 +95,7 @@ class DecodeEngine:
         fetch_every: int = 1,
         emit_int16: bool = False,
         chunk_frames: int = 1,
+        tail_len: int = 128,
     ):
         # chunk_frames > 1 enables ADAPTIVE CHUNKED DISPATCH: when no
         # admissions are pending, one device program advances K frames
@@ -134,16 +159,28 @@ class DecodeEngine:
         self.fetch_every = max(1, int(fetch_every))
         self._queue: "collections.deque" = collections.deque()
 
-        self.state = init_decode_state(cfg, num_slots, self.S, dtype=kv_dtype)
+        self.state = init_decode_state(
+            cfg, num_slots, self.S, dtype=kv_dtype, tail_len=tail_len
+        )
         # All slots start finished (idle).
         self.state = self.state._replace(
             finished=jnp.ones((num_slots,), bool)
         )
         self._ids = itertools.count()
+        self._seq = itertools.count()  # dispatch order of non-urgent records
         self._free: List[int] = list(range(num_slots))
         self._streams: Dict[int, StreamHandle] = {}
         self._slot_to_stream: Dict[int, int] = {}
         self._pending: List[Tuple[int, np.ndarray]] = []
+        # Dispatch/fetch economics, for tests and metrics: steady-state
+        # fetch_calls per dispatched frame should stay ~1/chunk_frames.
+        self.stats = {
+            "dispatches": 0,
+            "frames_dispatched": 0,
+            "fetch_calls": 0,
+            "records_fetched": 0,
+            "urgent_fetched": 0,
+        }
 
         from smoltts_tpu.lm.pipeline import _donate_names
 
@@ -233,14 +270,15 @@ class DecodeEngine:
                     _, _, rest = _split_lm(state)
                     _, _, mrest = _split_mimi(mstate)
                     return (rest, mrest, rng), (
-                        out.audio_codes, out.is_audio, out.finished, pcm
+                        out.audio_codes, out.is_audio, out.finished,
+                        out.slow_token, pcm,
                     )
 
-                (rest, mrest, rng), (codes, is_audio, fin, pcm) = jax.lax.scan(
+                (rest, mrest, rng), (codes, is_audio, fin, slow, pcm) = jax.lax.scan(
                     body, (rest, mrest, rng), None, length=self.chunk_frames
                 )
                 # Frame-major [K, B, ...] — accounting iterates frames.
-                return rest, mrest, (codes, is_audio, fin), pcm, rng
+                return rest, mrest, (codes, is_audio, fin, slow), pcm, rng
 
             _chunk_jit = jax.jit(decode_vocode_chunk, static_argnames=("attend_limit",))
 
@@ -304,6 +342,44 @@ class DecodeEngine:
     @property
     def active(self) -> int:
         return len(self._streams)
+
+    def warm(self, prompt_len: Optional[int] = None) -> None:
+        """Pre-compile every program a serving run can hit: admission at all
+        power-of-two batch sizes (compile key is (n_new, T) — continuous
+        churn admits at arbitrary powers of two), the decode/vocode step
+        (single-frame and chunked) at the first attend bucket, and the ring
+        flush. Results are discarded; engine state is untouched. Call once
+        at server boot so no compile lands inside a live request."""
+        T = prompt_len or self.prompt_bucket
+        n = 1
+        dummy_rng = jax.random.PRNGKey(0)
+        while n <= self.num_slots:
+            slots = jnp.arange(n, dtype=jnp.int32)
+            prompt = jnp.zeros((n, self.cfg.num_rows, T), jnp.int32)
+            lens = jnp.full((n,), T, jnp.int32)
+            _, out = self._admit_fn(n, T)(
+                self.params, self.state, slots, prompt, lens, dummy_rng
+            )
+            if self.mimi_state is not None:
+                self._admit_vocode_fn(n)(
+                    self.mimi_params, self.mimi_state, slots, out.audio_codes
+                )
+            n *= 2
+        for lim in self.attend_buckets:
+            if self.mimi_state is not None:
+                self._decode_vocode(
+                    self.params, self.mimi_params, self.state, self.mimi_state,
+                    dummy_rng, lim,
+                )
+                if self.chunk_frames > 1:
+                    self._decode_vocode_chunk(
+                        self.params, self.mimi_params, self.state,
+                        self.mimi_state, dummy_rng, lim,
+                    )
+            else:
+                self._decode(self.params, self.state, dummy_rng, lim)
+        self._flush(self.state, self.mimi_state)
+        jax.block_until_ready(self.state.pos)
 
     def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> int:
         """Queue a [num_rows, T] prompt; returns a stream id."""
@@ -389,9 +465,15 @@ class DecodeEngine:
 
     def _admit_pending(self) -> None:
         """Prefill queued prompts into free slots; enqueue their first frames
-        (fetched later by the in-flight pipeline)."""
+        (fetched later by the in-flight pipeline).
+
+        Admission batch sizes are quantized to powers of two (an admission
+        of 7 runs as 4+2+1): the admit program compiles per (n_new, T), and
+        continuous churn would otherwise hit arbitrary n — a compile storm
+        at serving time. Power-of-two sizes bound the variants to log2(B)."""
         while self._pending and self._free:
             n = min(len(self._pending), len(self._free))
+            n = 1 << (n.bit_length() - 1)  # largest power of two <= n
             batch = [self._pending.pop(0) for _ in range(n)]
             slots = [self._free.pop(0) for _ in range(n)]
             for (sid, _), slot in zip(batch, slots):
@@ -427,11 +509,13 @@ class DecodeEngine:
                     jnp.asarray(slots, jnp.int32),
                     out.audio_codes,
                 )
-            # (row index in out) -> stream id, in submission order
-            self._queue.append((
-                (out.audio_codes, out.is_audio, out.finished, pcm0),
+            # (row index in out) -> stream id, in submission order. Urgent:
+            # these are first frames — take_due releases them immediately.
+            self._queue.append(Record(
+                (out.audio_codes, out.is_audio, out.finished, out.slow_token, pcm0),
                 [(i, sid) for i, (sid, _) in enumerate(batch)],
                 1,
+                urgent=True,
             ))
 
     def _bookkeep(self, sid: int, frame: dict) -> Optional[dict]:
@@ -447,13 +531,33 @@ class DecodeEngine:
             self._release(sid)
         return frame
 
+    def _free_slot(self, h: StreamHandle) -> None:
+        """Return a stream's slot to the pool and silence it on device.
+
+        Decoupled from stream release: a budget-limited stream's slot frees
+        PROACTIVELY when its last frame is *dispatched* (the host knows the
+        frame budget), so a queued prompt reuses the slot without waiting
+        for the lagged fetch to observe the finish. The stream handle stays
+        in `_streams` until its in-flight frames are fetched and emitted —
+        records map rows to stream ids, not slots, so reuse is unambiguous.
+        """
+        if h.slot < 0:
+            return
+        self._slot_to_stream.pop(h.slot, None)
+        self._free.append(h.slot)
+        # Mark the slot finished on device so it stops consuming sampler work.
+        self.state = self.state._replace(
+            finished=self.state.finished.at[h.slot].set(True)
+        )
+        h.slot = -1
+
     @staticmethod
     def fetch(records: list) -> list:
         """Fetch dispatched steps' outputs: ONE device round trip for the
         whole batch. Pure device I/O — safe to run OUTSIDE the engine lock,
         concurrently with dispatching (EngineLoop overlaps the two threads so
         the round-trip latency doesn't gate throughput)."""
-        return jax.device_get([r[0] for r in records])
+        return jax.device_get([r.payload for r in records])
 
     def account(self, records: list, fetched: list) -> List[Tuple[int, dict]]:
         """Lagged bookkeeping over fetched results, in dispatch order.
@@ -462,12 +566,17 @@ class DecodeEngine:
         A record holds 1 frame ([B, ...] payload) or a chunk of K frames
         (frame-major [K, B, ...]); frames emit in order per stream."""
         emitted = []
-        for (codes, is_audio, fin, pcm), (_, rows, n_frames) in zip(fetched, records):
+        if records:
+            self.stats["fetch_calls"] += 1
+            self.stats["records_fetched"] += len(records)
+            self.stats["urgent_fetched"] += sum(r.urgent for r in records)
+        for (codes, is_audio, fin, slow, pcm), rec in zip(fetched, records):
+            rows, n_frames = rec.rows, rec.n_frames
             for k in range(n_frames):
-                ck, ak, fk = (
-                    (codes, is_audio, fin)
+                ck, ak, fk, sk = (
+                    (codes, is_audio, fin, slow)
                     if n_frames == 1
-                    else (codes[k], is_audio[k], fin[k])
+                    else (codes[k], is_audio[k], fin[k], slow[k])
                 )
                 pk = pcm if (pcm is None or n_frames == 1) else pcm[k]
                 for row, sid in rows:
@@ -475,6 +584,7 @@ class DecodeEngine:
                         "audio_codes": ck[row],
                         "is_audio": bool(ak[row]),
                         "finished": bool(fk[row]),
+                        "slow_token": int(sk[row]),
                     }
                     if pk is not None:
                         frame["pcm"] = pk[row, :, 0]
@@ -485,26 +595,28 @@ class DecodeEngine:
 
     def take_due(self) -> list:
         """Pop the records whose fetch is due (stay `inflight` behind while
-        work continues; batch by `fetch_every`; drain fully when idle)."""
+        work continues; batch by `fetch_every`; drain fully when idle).
+
+        URGENT records (admission first frames) are released immediately,
+        out of queue order: holding them behind `inflight` dispatches would
+        add inflight * chunk_frames frame-times to first-audio latency.
+        Safe — see Record.urgent."""
+        urgent = [r for r in self._queue if r.urgent]
+        if urgent:
+            self._queue = collections.deque(r for r in self._queue if not r.urgent)
         target = self.inflight if (self._pending or self._slot_to_stream) else 0
         due = len(self._queue) - target
         if due <= 0 or (target > 0 and due < self.fetch_every):
-            return []
-        return [self._queue.popleft() for _ in range(due)]
+            return urgent
+        return urgent + [self._queue.popleft() for _ in range(due)]
 
     def _materialize(self, records: list) -> List[Tuple[int, dict]]:
         return self.account(records, self.fetch(records))
 
     def _release(self, sid: int):
         h = self._streams.pop(sid, None)
-        if h is None or h.slot < 0:
-            return
-        self._slot_to_stream.pop(h.slot, None)
-        self._free.append(h.slot)
-        # Mark the slot finished on device so it stops consuming sampler work.
-        self.state = self.state._replace(
-            finished=self.state.finished.at[h.slot].set(True)
-        )
+        if h is not None:
+            self._free_slot(h)
 
     def step(self) -> List[Tuple[int, dict]]:
         """Admit pending streams, dispatch one frame for all live slots, and
@@ -533,17 +645,14 @@ class DecodeEngine:
 
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
-            # Adaptive chunking: advance K frames per dispatch while no
-            # admissions wait (K-fold fewer dispatch/fetch round trips);
-            # drop to single frames when a prompt is queued so it prefills
-            # within one dispatch.
-            K = 1
-            if (
-                self.chunk_frames > 1
-                and not self._pending
-                and self.mimi_state is not None
-            ):
-                K = self.chunk_frames
+            # Chunked dispatch: K frames per device program (lax.scan) — the
+            # per-frame dispatch/fetch overhead drops K-fold. Admission does
+            # NOT force K down: pending prompts are admitted at the top of
+            # every dispatch_step (before this dispatch), and budget-limited
+            # slots free proactively at dispatch time (_free_slot), so a
+            # queued prompt's wait is bounded by the in-flight device queue
+            # (EngineLoop.max_ahead records), not by K.
+            K = self.chunk_frames if self.mimi_state is not None else 1
             if self._since_flush + K > self._flush_every:
                 self.state, self.mimi_state = self._flush(self.state, self.mimi_state)
                 self._since_flush = 0
@@ -570,45 +679,87 @@ class DecodeEngine:
                     self.params, self.mimi_params, self.state, self.mimi_state,
                     self.rng, lim,
                 )
-                out = (out.audio_codes, out.is_audio, out.finished)
+                out = (out.audio_codes, out.is_audio, out.finished, out.slow_token)
             else:
                 self.state, out, self.rng = self._decode(
                     self.params, self.state, self.rng, lim
                 )
-                out = (out.audio_codes, out.is_audio, out.finished)
+                out = (out.audio_codes, out.is_audio, out.finished, out.slow_token)
             for slot, _ in live_slots:
                 self._slot_pos[slot] += K
             self._since_flush += K
-            self._queue.append((
-                (*out, pcm), [(s, sid) for s, sid in live_slots], K
+            self._queue.append(Record(
+                (*out, pcm), [(s, sid) for s, sid in live_slots], K,
+                seq=next(self._seq),
             ))
+            self.stats["dispatches"] += 1
+            self.stats["frames_dispatched"] += K * len(live_slots)
+            # Proactive slot reuse: the host knows a budget-limited stream's
+            # last frame the moment it is dispatched.
+            for _, sid in live_slots:
+                h = self._streams.get(sid)
+                if h is None:
+                    continue
+                h.frames_dispatched += K
+                if h.frames_dispatched >= h.max_frames:
+                    self._free_slot(h)
 
     def has_work(self) -> bool:
         return bool(self._pending or self._slot_to_stream or self._queue)
 
 
 class EngineLoop:
-    """Two background threads driving a DecodeEngine; frames fan out to
+    """Background threads driving a DecodeEngine; frames fan out to
     per-stream queues.
 
-    The DISPATCH thread admits prompts and enqueues device steps; the FETCH
-    thread performs the (potentially slow — one network round trip on
+    The DISPATCH thread admits prompts and enqueues device steps; `fetchers`
+    FETCH threads perform the (potentially slow — one network round trip on
     tunneled runtimes) result fetches OUTSIDE the engine lock, so device
-    dispatch never stalls behind host I/O. Dispatch runs at most
-    `inflight + 2 * fetch_every` steps ahead of accounting so device buffers
-    and eviction lag stay bounded."""
+    dispatch never stalls behind host I/O. Multiple fetchers overlap
+    transfers: on hosts where a chunk record's PCM transfer takes longer
+    than the chunk's device time, a single fetcher makes the whole engine
+    fetch-bound. Non-urgent records are ACCOUNTED in dispatch order (they
+    all carry frames of the same live slots — Record.seq); urgent records
+    (admission first frames) account the moment their fetch lands, so a
+    long in-progress PCM transfer never delays first audio.
 
-    def __init__(self, engine: DecodeEngine, poll_interval: float = 0.002):
+    `max_ahead` bounds how many un-fetched records dispatch may run ahead —
+    it is ALSO the first-audio latency knob: a newly admitted stream's
+    prefill executes behind at most `max_ahead` queued device programs
+    (~max_ahead * chunk_frames frame-times), and its first PCM is fetched
+    urgently (Record.urgent)."""
+
+    def __init__(
+        self,
+        engine: DecodeEngine,
+        poll_interval: float = 0.002,
+        max_ahead: Optional[int] = None,
+        fetchers: int = 2,
+    ):
         self.engine = engine
         self.poll_interval = poll_interval
         self._queues: Dict[int, "queue.Queue"] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._max_ahead = engine.inflight + 2 * engine.fetch_every
+        # Account ordering for non-urgent records across parallel fetchers.
+        self._acct_cv = threading.Condition(self._lock)
+        self._next_acct = 0
+        # Must exceed inflight + fetch_every or the fetch threads would only
+        # drain at idle (take_due holds `inflight` back and batches
+        # `fetch_every` at a time).
+        self._max_ahead = (
+            max_ahead
+            if max_ahead is not None
+            else engine.inflight + max(2, engine.fetch_every)
+        )
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
-        self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
+        self._fetchers = [
+            threading.Thread(target=self._fetch_loop, daemon=True)
+            for _ in range(max(1, int(fetchers)))
+        ]
         self._dispatcher.start()
-        self._fetcher.start()
+        for t in self._fetchers:
+            t.start()
 
     def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> "queue.Queue":
         q: "queue.Queue" = queue.Queue()
@@ -631,6 +782,29 @@ class EngineLoop:
             if not work:
                 time.sleep(self.poll_interval)
 
+    def _emit(self, frames) -> None:
+        for sid, frame in frames:
+            q = self._queues.get(sid)
+            if q is not None:
+                q.put(frame)
+                if frame["finished"]:
+                    q.put(None)  # sentinel
+                    self._queues.pop(sid, None)
+
+    def _account_in_order(self, records, fetched) -> None:
+        """Account a fetched batch: urgent records immediately, non-urgent
+        strictly in dispatch (`seq`) order across all fetcher threads."""
+        for rec, data in zip(records, fetched):
+            with self._acct_cv:
+                if rec.seq is not None:
+                    while self._next_acct < rec.seq and not self._stop.is_set():
+                        self._acct_cv.wait(0.05)
+                frames = self.engine.account([rec], [data])
+                if rec.seq is not None:
+                    self._next_acct = rec.seq + 1
+                    self._acct_cv.notify_all()
+            self._emit(frames)
+
     def _fetch_loop(self):
         import time
 
@@ -641,17 +815,12 @@ class EngineLoop:
                 time.sleep(self.poll_interval)
                 continue
             fetched = self.engine.fetch(records)  # slow I/O, lock NOT held
-            with self._lock:
-                frames = self.engine.account(records, fetched)
-            for sid, frame in frames:
-                q = self._queues.get(sid)
-                if q is not None:
-                    q.put(frame)
-                    if frame["finished"]:
-                        q.put(None)  # sentinel
-                        self._queues.pop(sid, None)
+            self._account_in_order(records, fetched)
 
     def stop(self):
         self._stop.set()
+        with self._acct_cv:
+            self._acct_cv.notify_all()
         self._dispatcher.join(timeout=5)
-        self._fetcher.join(timeout=5)
+        for t in self._fetchers:
+            t.join(timeout=5)
