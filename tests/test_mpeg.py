@@ -34,13 +34,54 @@ def test_filterbank_near_perfect_reconstruction():
     assert snr_db(x[:n], y[:n]) > 40.0
 
 
-def test_header_fields_and_frame_size():
+def test_header_fields_and_frame_size_layer2():
+    # 24 kHz auto-selects MPEG-2 LSF Layer II.
     data = encode_mpeg_audio(tone(440, 24_000), 24_000, bitrate_kbps=128)
     assert data[0] == 0xFF and (data[1] & 0xE0) == 0xE0  # sync
     assert (data[1] >> 3) & 0b11 == 0b10  # MPEG-2 LSF for 24 kHz
+    assert (data[1] >> 1) & 0b11 == 0b10  # Layer II
+    # frame length = floor(144 * 128000 / 24000) = 768 bytes; second sync
+    assert data[768] == 0xFF and (data[769] & 0xE0) == 0xE0
+
+
+def test_header_fields_and_frame_size_layer1():
+    # MPEG-1 rates keep Layer I.
+    data = encode_mpeg_audio(tone(1000, 44_100), 44_100, bitrate_kbps=128)
+    assert data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    assert (data[1] >> 3) & 0b11 == 0b11  # MPEG-1
     assert (data[1] >> 1) & 0b11 == 0b11  # Layer I
-    # frame length = 4 * floor(12 * 128000 / 24000) = 256 bytes; second sync
-    assert data[256] == 0xFF and (data[257] & 0xE0) == 0xE0
+    n = 4 * (12 * 128000 // 44100)
+    assert data[n] == 0xFF and (data[n + 1] & 0xE0) == 0xE0
+
+
+@pytest.mark.parametrize("rate,kbps", [(16_000, 96), (22_050, 128), (24_000, 128)])
+def test_layer2_roundtrip_tone_snr(rate, kbps):
+    x = tone(440, rate)
+    data = encode_mpeg_audio(x, rate, bitrate_kbps=kbps)
+    y, got_rate = decode_mpeg_audio(data)
+    assert got_rate == rate
+    n = min(len(x), len(y)) - 600
+    assert snr_db(x[:n], y[:n]) > 30.0
+
+
+def test_layer2_roundtrip_speechlike():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal(24_000)
+    x = np.convolve(w, np.ones(8) / 8.0, mode="same") * 0.4
+    data = encode_mpeg_audio(x, 24_000, bitrate_kbps=160)
+    y, _ = decode_mpeg_audio(data)
+    n = len(x) - 600
+    assert snr_db(x[:n], y[:n]) > 22.0
+
+
+def test_layer2_bitrate_scales_quality():
+    x = tone(523, 24_000)
+    snrs = []
+    for kbps in (48, 96, 160):
+        y, _ = decode_mpeg_audio(encode_mpeg_audio(x, 24_000, bitrate_kbps=kbps))
+        n = min(len(x), len(y)) - 600
+        snrs.append(snr_db(x[:n], y[:n]))
+    assert snrs[0] < snrs[-1] and snrs[-1] > 40.0
 
 
 # Layer I needs ~8 bits/sample for clean tones; scale the bitrate with fs.
