@@ -80,11 +80,33 @@ def main():
     mimi_params = fuse_mimi_decode_params(mimi_params)
 
     quantized = os.environ.get("BENCH_INT8", "1") != "0"
+    kv8_enabled = os.environ.get("BENCH_KV8", "1") != "0"
     if quantized:
         from smoltts_tpu.ops.quant import quantize_decode_params, quantize_mimi_params
 
+        params_dense, mimi_dense = params, mimi_params
         params = quantize_decode_params(params)
         mimi_params = quantize_mimi_params(mimi_params)
+
+    # QUALITY GATES: a quantized mode may only be measured if its gate
+    # passes against the exact trees being benchmarked (ops/quant_gate.py).
+    # BENCH_SKIP_GATES=1 skips (e.g., for quick sweeps); the recorded run
+    # keeps them on and reports the metrics in `extra`.
+    gate_metrics = {}
+    if (quantized or kv8_enabled) and os.environ.get("BENCH_SKIP_GATES") != "1":
+        from smoltts_tpu.ops.quant_gate import run_quant_gates
+
+        gate_metrics = run_quant_gates(
+            cfg, token_cfg, settings, mimi_cfg,
+            params_dense if quantized else params,
+            params,
+            mimi_dense if quantized else mimi_params,
+            mimi_params,
+            int8=quantized, kv8=kv8_enabled,
+        )
+        gate_metrics = {k: round(float(v), 5) for k, v in gate_metrics.items()}
+    if quantized:
+        del params_dense, mimi_dense
 
     B = N_STREAMS
     rng = np.random.default_rng(0)
@@ -101,8 +123,8 @@ def main():
 
     # kv8 (BENCH_KV8=0 opts out): int8 KV history/ring with per-vector
     # scales (ops/quant.py::quantize_kv) — the attention HBM reads halve.
-    # Quality-gated by tests/test_kv8.py (greedy token agreement + PCM SNR).
-    kv8 = os.environ.get("BENCH_KV8", "1") != "0"
+    # Quality-gated above (ops/quant_gate.py) and by tests/test_kv8.py.
+    kv8 = kv8_enabled
     kv_dtype = jnp.int8 if kv8 else jnp.bfloat16
 
     def fresh_state(lm_tail=128, mimi_tail=64):
@@ -333,6 +355,7 @@ def main():
             "frames": N_FRAMES,
             "int8_weights": quantized,
             "int8_kv": kv8,
+            "quant_gates": gate_metrics,
             "repeats": {
                 "streaming": [round(x, 1) for x in stream_reps],
                 "chunked": [round(x, 1) for x in chunk_reps],

@@ -1,0 +1,226 @@
+"""Runtime quality gates for the quantized decode configurations.
+
+bench.py defends int8 weights (+ int8 KV) as its measured configuration;
+these gates make that defensible at run time: flipping BENCH_INT8/BENCH_KV8
+on runs the corresponding gate against the exact parameter trees the bench
+is about to measure, and a failing gate raises (loud) instead of silently
+recording numbers for a broken quantization. The same checks are exercised
+at tiny scale by tests/test_quant_gate.py (including the fails-loudly
+direction), and the distribution-level thresholds mirror
+tests/test_int8_gate.py / tests/test_kv8.py.
+
+Checks (all scale-free — no released weights are reachable offline, so
+random-init trees are the measured distribution):
+
+1. int8 LM: teacher-forced CE delta < 2% and mean token KL < 0.02 on a
+   synthetic labeled batch (greedy-agreement is noise at random init).
+2. int8 LM sampling distribution: KL between the ACTUAL sampling
+   distributions (temperature + min-p filter applied, audio-constrained)
+   of dense vs quantized logits < 0.02 — the temp>0 analogue of greedy
+   agreement, computed analytically over the full distribution rather than
+   by Monte-Carlo draws.
+3. int8 vocoder: PCM SNR > 25 dB decoding GENERATED (greedy, dense-LM)
+   codes — not random codes — through dense vs quantized Mimi.
+4. kv8: (a) per-vector int8 round-trip SNR > 30 dB on REAL prefill K/V
+   tensors; (b) relative error of the kv8 attention read path
+   (decode_attention_tailed with int8 history + scales vs bf16 history)
+   < 2% on those tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class QuantGateError(AssertionError):
+    """A quantized configuration failed its quality gate."""
+
+
+def _mean_kl(ref_logits, got_logits) -> float:
+    ref = jax.nn.log_softmax(ref_logits.astype(jnp.float32), axis=-1)
+    got = jax.nn.log_softmax(got_logits.astype(jnp.float32), axis=-1)
+    return float(jnp.mean(jnp.sum(jnp.exp(ref) * (ref - got), axis=-1)))
+
+
+def _sampling_dist(logits, token_cfg, temperature: float, min_p: float):
+    """The actual serving-time sampling distribution: audio-constrained,
+    temperature-scaled, min-p filtered, renormalized."""
+    from smoltts_tpu.lm.samplers import constrain_logits_to_audio
+
+    x = constrain_logits_to_audio(
+        logits.astype(jnp.float32),
+        token_cfg.im_end_id,
+        token_cfg.semantic_start_id,
+        token_cfg.semantic_end_id or token_cfg.semantic_start_id,
+    )
+    x = x / max(temperature, 1e-6)
+    p = jax.nn.softmax(x, axis=-1)
+    keep = p >= min_p * jnp.max(p, axis=-1, keepdims=True)
+    p = jnp.where(keep, p, 0.0)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def gate_int8_lm(
+    cfg, token_cfg, params, qparams, *,
+    temperature: float = 0.7, min_p: float = 0.05,
+    batch: int = 4, seq: int = 64, seed: int = 0,
+) -> Dict[str, float]:
+    """Checks 1 + 2. Returns metrics; raises QuantGateError on failure."""
+    from smoltts_tpu.models.dual_ar import forward_train
+    from smoltts_tpu.train.data import batch_iterator, synthetic_dataset
+    from smoltts_tpu.train.loss import compute_losses
+
+    ds = synthetic_dataset(batch, cfg, token_cfg, seq_len=seq, seed=seed)
+    b = next(batch_iterator(
+        ds, batch_size=batch, semantic_pad_id=token_cfg.pad_id, max_len=seq,
+        duplicate_code_0=cfg.duplicate_code_0, num_codebooks=cfg.num_codebooks,
+    ))
+    tokens = jnp.asarray(b["tokens"])
+
+    def fwd(p):
+        return forward_train(
+            p, cfg, tokens,
+            embed_mask_mode="semantic_range",
+            semantic_start_id=token_cfg.semantic_start_id,
+            semantic_end_id=token_cfg.semantic_end_id or token_cfg.semantic_start_id,
+        )
+
+    ref = jax.jit(fwd)(params)
+    got = jax.jit(fwd)(qparams)
+    labels = jnp.asarray(b["labels"])
+    ce_ref = float(compute_losses(ref.token_logits, ref.codebook_logits, labels).total)
+    ce_got = float(compute_losses(got.token_logits, got.codebook_logits, labels).total)
+    ce_delta = abs(ce_got - ce_ref) / max(abs(ce_ref), 1e-9)
+    kl_tok = _mean_kl(ref.token_logits, got.token_logits)
+    kl_cb = _mean_kl(ref.codebook_logits, got.codebook_logits)
+
+    p_ref = _sampling_dist(ref.token_logits[:, -1], token_cfg, temperature, min_p)
+    p_got = _sampling_dist(got.token_logits[:, -1], token_cfg, temperature, min_p)
+    eps = 1e-9
+    kl_sample = float(jnp.mean(jnp.sum(
+        p_ref * (jnp.log(p_ref + eps) - jnp.log(p_got + eps)), axis=-1
+    )))
+
+    metrics = {
+        "int8_ce_delta": ce_delta, "int8_kl_token": kl_tok,
+        "int8_kl_codebook": kl_cb, "int8_kl_sampling": kl_sample,
+    }
+    if ce_delta >= 0.02 or kl_tok >= 0.02 or kl_cb >= 0.02 or kl_sample >= 0.02:
+        raise QuantGateError(f"int8 LM gate failed: {metrics}")
+    return metrics
+
+
+def gate_int8_vocoder(
+    cfg, token_cfg, settings, mimi_cfg, params, mimi_params, qmimi, *,
+    n_frames: int = 12, seed: int = 0,
+) -> Dict[str, float]:
+    """Check 3: PCM SNR on codes GENERATED by the (dense) LM."""
+    from smoltts_tpu.codec.mimi import mimi_decode
+    from smoltts_tpu.lm.generate import FrameGenerator
+    from smoltts_tpu.lm.samplers import GenerationSettings
+
+    greedy = GenerationSettings(
+        default_temp=0.0, default_fast_temp=0.0,
+        max_new_tokens=n_frames, audio_only_constraint=True,
+    )
+    rng = np.random.default_rng(seed)
+    T = 12
+    prompt = np.zeros((cfg.num_rows, T), np.int32)
+    c0 = rng.integers(1, cfg.codebook_size, T)
+    prompt[0] = token_cfg.semantic_start_id + c0
+    prompt[1] = c0 if cfg.duplicate_code_0 else rng.integers(1, cfg.codebook_size, T)
+    prompt[2:] = rng.integers(0, cfg.codebook_size, (cfg.num_rows - 2, T))
+
+    gen = FrameGenerator(
+        params, cfg, token_cfg, greedy, [prompt],
+        rng=jax.random.PRNGKey(seed), max_seq_len=max(64, T + n_frames + 2),
+    )
+    codes = np.stack([np.asarray(f.audio_codes)[0] for f in gen], axis=1)[None]
+    ref = np.asarray(mimi_decode(mimi_params, mimi_cfg, jnp.asarray(codes)))
+    got = np.asarray(mimi_decode(qmimi, mimi_cfg, jnp.asarray(codes)))
+    err = ref - got
+    snr = 10.0 * np.log10(float((ref**2).mean()) / max(float((err**2).mean()), 1e-12))
+    if snr <= 25.0:
+        raise QuantGateError(f"int8 vocoder gate failed: generated-codes SNR {snr:.1f} dB")
+    return {"int8_vocoder_snr_db": snr}
+
+
+def gate_kv8(cfg, token_cfg, params, *, batch: int = 2, T: int = 48, seed: int = 0) -> Dict[str, float]:
+    """Check 4: int8 KV fidelity on REAL prefill tensors, and the kv8
+    attention read path against the bf16 one."""
+    from smoltts_tpu.lm.decode import init_decode_state, prefill
+    from smoltts_tpu.lm.samplers import GenerationSettings
+    from smoltts_tpu.ops.attention import decode_attention_tailed
+    from smoltts_tpu.ops.quant import quantize_kv
+
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0)
+    rng = np.random.default_rng(seed)
+    prompt = np.zeros((batch, cfg.num_rows, T), np.int32)
+    c0 = rng.integers(1, cfg.codebook_size, (batch, T))
+    prompt[:, 0] = token_cfg.semantic_start_id + c0
+    prompt[:, 1] = c0
+    S = max(64, 2 * T)
+    state = init_decode_state(cfg, batch, S, dtype=jnp.bfloat16)
+    state, _ = jax.jit(
+        lambda s, p, l, r: prefill(params, cfg, token_cfg, settings, s, p, l, r)
+    )(state, jnp.asarray(prompt), jnp.full((batch,), T, jnp.int32), jax.random.PRNGKey(0))
+
+    k = state.k  # [L, B, H, S, hd] bf16, positions < T valid
+    v = state.v
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    deq = kq.astype(jnp.float32) * ks[..., None]
+    ref = k.astype(jnp.float32)
+    valid = ref[:, :, :, :T]
+    err = valid - deq[:, :, :, :T]
+    snr = 10.0 * np.log10(
+        float(jnp.mean(valid**2)) / max(float(jnp.mean(err**2)), 1e-12)
+    )
+
+    # Attention read path: one query over the quantized vs dense history.
+    L = k.shape[0]
+    hd = cfg.head_dim
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.n_head, hd), jnp.bfloat16)
+    W = 8
+    k_tail = jnp.zeros((batch, cfg.n_local_heads, W, hd), jnp.bfloat16)
+    v_tail = jnp.zeros_like(k_tail)
+    tail_pos = jnp.full((batch, W), -1, jnp.int32)
+    pos = jnp.full((batch,), T - 1, jnp.int32)
+    flushed = jnp.full((batch,), T, jnp.int32)
+    out_ref = decode_attention_tailed(
+        q, k[0], v[0], k_tail, v_tail, pos, flushed, tail_pos
+    )
+    out_q = decode_attention_tailed(
+        q, kq[0], vq[0], k_tail, v_tail, pos, flushed, tail_pos,
+        k_scale=ks[0], v_scale=vs[0],
+    )
+    rel = float(
+        jnp.linalg.norm((out_ref - out_q).astype(jnp.float32))
+        / jnp.maximum(jnp.linalg.norm(out_ref.astype(jnp.float32)), 1e-9)
+    )
+    metrics = {"kv8_roundtrip_snr_db": snr, "kv8_attention_rel_err": rel}
+    if snr <= 30.0 or rel >= 0.02:
+        raise QuantGateError(f"kv8 gate failed: {metrics}")
+    return metrics
+
+
+def run_quant_gates(
+    cfg, token_cfg, settings, mimi_cfg,
+    params_dense, params_q, mimi_dense, mimi_q,
+    *, int8: bool, kv8: bool,
+) -> Dict[str, float]:
+    """Run the gates matching the enabled quantized modes. Raises
+    QuantGateError if any enabled mode fails; returns the pooled metrics."""
+    metrics: Dict[str, float] = {}
+    if int8:
+        metrics.update(gate_int8_lm(cfg, token_cfg, params_dense, params_q))
+        metrics.update(gate_int8_vocoder(
+            cfg, token_cfg, settings, mimi_cfg, params_dense, mimi_dense, mimi_q
+        ))
+    if kv8:
+        metrics.update(gate_kv8(cfg, token_cfg, params_dense))
+    return metrics
