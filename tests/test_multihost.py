@@ -112,3 +112,42 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert len(flat_got) == len(flat_ref)
     for g, r in zip(flat_got, flat_ref):
         np.testing.assert_allclose(g, r, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_serving_matches_single_controller(tmp_path):
+    """Engine-side multihost smoke (VERDICT r2 item 8): the fused sharded
+    decode+vocode pipeline (streams over the cross-process `data` axis, TP
+    over `model`) runs in 2 real jax.distributed processes and emits exactly
+    the frames/PCM of the single-controller 8-device run."""
+    from tests.test_parallel_serving import _run, _setup
+
+    port = _free_port()
+    out = tmp_path / "mhs"
+    out.mkdir()
+    worker = Path(__file__).parent / "multihost_serving_worker.py"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(worker),
+                "--process-id", str(i), "--num-processes", "2",
+                "--port", str(port), "--out", str(out),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"serving worker {i} failed:\n{log[-4000:]}"
+
+    z = np.load(out / "serving.npz")
+    assert int(z["mesh_data"]) == 4 and int(z["mesh_model"]) == 2
+
+    ref_frames, ref_pcm = _run(*_setup())
+    np.testing.assert_array_equal(z["frames"], ref_frames)
+    np.testing.assert_allclose(z["pcm"], ref_pcm, rtol=1e-5, atol=1e-5)
