@@ -294,8 +294,18 @@ def attention_block(
 
 
 def ffn_block(x: jnp.ndarray, lp: dict, norm_eps: float) -> jnp.ndarray:
-    """One pre-norm FFN sublayer: x + swiglu(norm(x))."""
+    """One pre-norm FFN sublayer: x + swiglu(norm(x)).
+
+    Accepts either separate w1/w3 or the decode-fused w13 weight
+    (ops/quant.py::fuse_decode_params) so fused trees also run through the
+    training forward (used by the runtime quant gates, ops/quant_gate.py)."""
+    from smoltts_tpu.ops.quant import mm
+
     h = rms_norm(x, lp["ffn_norm"], norm_eps)
+    if "w13" in lp:
+        y = mm(h, lp["w13"])
+        a, b = jnp.split(y, 2, axis=-1)
+        return x + mm(jax.nn.silu(a) * b, lp["w2"])
     return x + swiglu(h, lp["w1"], lp["w3"], lp["w2"])
 
 
