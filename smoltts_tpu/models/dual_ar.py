@@ -372,12 +372,16 @@ def forward_train(
     cb = tokens[:, 1:-1, 1:]  # [B, R-2, T-1]
     cb = jnp.pad(cb, ((0, 0), (0, 0), (0, 1)))  # [B, R-2, T]
     cb = cb + fast_codebook_offsets(cfg)[None, :, None]
-    cb_embeds = params["fast_embeddings"][cb]  # [B, R-2, T, fast_dim]
+    # Gather TIME-MAJOR ([B, T, R-2, fd]) so the per-frame fast sequences
+    # assemble with a concat instead of a materialized [B, n, T, fd]
+    # transpose (the transpose showed up as a full extra HBM pass at the
+    # training shapes).
+    cb_embeds = params["fast_embeddings"][cb.transpose(0, 2, 1)]
 
     # Fast sequence per frame: [h_t, emb(c_1), ..., emb(c_{n-1})].
-    fast_seq = jnp.concatenate([h[:, None], cb_embeds], axis=1)  # [B, n, T, fd]
+    fast_seq = jnp.concatenate([h[:, :, None], cb_embeds], axis=2)  # [B, T, n, fd]
     n = cfg.max_fast_seqlen
-    fast_seq = fast_seq.transpose(0, 2, 1, 3).reshape(B * T, n, cfg.fast_dim)
+    fast_seq = fast_seq.reshape(B * T, n, cfg.fast_dim)
 
     fpos = jnp.arange(n)
     fcos, fsin = rope_cos_sin(fpos, cfg.fast_head_dim, cfg.rope_base)

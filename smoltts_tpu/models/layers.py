@@ -44,6 +44,25 @@ class AttnDims:
 # --------------------------------------------------------------------------
 
 
+def dropout_keep(rng: jax.Array, rate: float, shape) -> jnp.ndarray:
+    """Bernoulli(1 - rate) keep mask from the RBG bit generator.
+
+    Mask bits come from `lax.rng_bit_generator` (TPU's fast non-cryptographic
+    generator) keyed by the caller's threefry key: drawing threefry bits for
+    every attention-probability element costs ~12% of the 150M train step
+    (and is recomputed under remat), while RBG bits are near-free. The keep
+    distribution is identical — iid Bernoulli via a uint32 threshold compare
+    — only the bit-stream differs, which is already the contract for dropout
+    here (sdpa_blockwise draws different bits than eager sdpa)."""
+    kd = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+    key4 = jnp.concatenate([kd, kd])[:4] if kd.size < 4 else kd[:4]
+    _, bits = jax.lax.rng_bit_generator(
+        key4, shape, dtype=jnp.uint32, algorithm=jax.lax.RandomAlgorithm.RNG_DEFAULT
+    )
+    threshold = jnp.uint32(min(int(round((1.0 - rate) * 2**32)), 2**32 - 1))
+    return bits < threshold
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     """RMSNorm computed in fp32, cast back (rq_transformer.py:601-613)."""
     xf = x.astype(jnp.float32)
@@ -175,7 +194,7 @@ def sdpa_blockwise(
             l = l * corr + jnp.sum(p, axis=-1)
             if dropout_rate > 0.0 and rng is not None:
                 blk_rng = jax.random.fold_in(rng, qi * NK + kj)
-                keep = jax.random.bernoulli(blk_rng, 1.0 - dropout_rate, p.shape)
+                keep = dropout_keep(blk_rng, dropout_rate, p.shape)
                 p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
             acc = acc * corr[..., None] + jnp.einsum(
                 "bhgqk,bkhd->bhgqd", p.astype(v.dtype), vb,
@@ -246,7 +265,7 @@ def sdpa(
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        keep = dropout_keep(dropout_rng, dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
 
     out = jnp.einsum(

@@ -45,13 +45,21 @@ from smoltts_tpu.ops.quant import QTensor
 
 
 def supports_fused_fast(cfg: DualARConfig, params: dict) -> bool:
+    lp = params.get("fast_layers", {})
+    ffn_ok = (
+        ("w1" in lp and isinstance(lp["w1"], QTensor))
+        # w13-fused trees (ops/quant.py::fuse_decode_params) are split back
+        # into w1/w3 views in fused_fast_micro_loop — exact, since the fused
+        # concat is along the per-output-channel axis.
+        or ("w13" in lp and isinstance(lp["w13"], QTensor))
+    )
     return bool(
         cfg.depthwise_wte
         and cfg.depthwise_output
         and cfg.duplicate_code_0
         and not cfg.fast_attention_qkv_bias
-        and isinstance(params.get("fast_layers", {}).get("wqkv"), QTensor)
-        and "w1" in params.get("fast_layers", {})  # not w13-fused (fuse_decode_params)
+        and isinstance(lp.get("wqkv"), QTensor)
+        and ffn_ok
         and isinstance(params.get("fast_output"), QTensor)
         and cfg.fast_n_head % cfg.fast_n_local_heads == 0
         and cfg.fast_head_dim % 2 == 0
@@ -234,6 +242,15 @@ def fused_fast_micro_loop(
         x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
 
     lp = params["fast_layers"]
+    if "w13" in lp:
+        # Split the decode-fused gate/up weight back into w1/w3 views: the
+        # fusion concatenates along the output-channel axis, so slicing q and
+        # its per-output-channel scale is bit-exact (ops/quant.py::_concat_w).
+        w13: QTensor = lp["w13"]
+        F = w13.q.shape[-1] // 2
+        lp = dict(lp)
+        lp["w1"] = QTensor(q=w13.q[..., :F], scale=w13.scale[..., :F])
+        lp["w3"] = QTensor(q=w13.q[..., F:], scale=w13.scale[..., F:])
     head: QTensor = params["fast_output"]
     cosv, sgnsin = _rope_tables(cfg)
     P_np, G_np, Ek_np = _structure_constants(D, H, KV, hd)

@@ -49,6 +49,31 @@ def test_greedy_matches_xla_loop(B):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_w13_fused_tree_matches_unfused():
+    """The bench/engine path fuses w1/w3 -> w13 before quantizing; the kernel
+    splits the fused weight back into exact w1/w3 views."""
+    from smoltts_tpu.ops.quant import fuse_decode_params
+
+    cfg, params = setup()
+    fused = quantize_decode_params(
+        fuse_decode_params(init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32))
+    )
+    assert supports_fused_fast(cfg, fused)
+    settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0)
+    hidden = jax.random.normal(jax.random.PRNGKey(5), (4, cfg.dim), jnp.float32)
+    ref = np.asarray(
+        fused_fast_micro_loop(
+            params, cfg, hidden, jax.random.PRNGKey(2), settings, interpret=True
+        )
+    )
+    got = np.asarray(
+        fused_fast_micro_loop(
+            fused, cfg, hidden, jax.random.PRNGKey(2), settings, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_greedy_matches_through_many_hiddens():
     """A batch of diverse hidden states: every level of every row agrees."""
     cfg, params = setup()
