@@ -81,6 +81,17 @@ def main():
 
     quantized = os.environ.get("BENCH_INT8", "1") != "0"
     kv8_enabled = os.environ.get("BENCH_KV8", "1") != "0"
+    # Fused fast-micro-loop Pallas kernel (ops/fast_loop.py): DEFENDED ON
+    # when the int8 trees qualify. Round 2 shipped it opt-in after compile
+    # hangs inside the big pipeline programs; scripts/wedge_fast_loop.py
+    # re-bisected on this host (r3): all four containing programs compile
+    # and run clean — the r2 "wedge" was the environmental runtime stall
+    # documented in PERF.md. BENCH_FUSED_FAST=0 opts out (A/B knob).
+    fused_fast = quantized and os.environ.get("BENCH_FUSED_FAST", "1") != "0"
+    if fused_fast:
+        os.environ.setdefault("SMOLTTS_FUSED_FAST", "1")
+    else:
+        os.environ["SMOLTTS_FUSED_FAST"] = "0"
     if quantized:
         from smoltts_tpu.ops.quant import quantize_decode_params, quantize_mimi_params
 
@@ -355,6 +366,7 @@ def main():
             "frames": N_FRAMES,
             "int8_weights": quantized,
             "int8_kv": kv8,
+            "fused_fast": fused_fast,
             "quant_gates": gate_metrics,
             "repeats": {
                 "streaming": [round(x, 1) for x in stream_reps],

@@ -30,7 +30,7 @@ REPO = Path(__file__).parent.parent
 
 STAGE_SRC = r'''
 import sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_wedge")
 import jax.numpy as jnp
@@ -48,7 +48,7 @@ from smoltts_tpu.ops.quant import (
 )
 from smoltts_tpu.tokenizer import TokenConfig
 
-stage = {stage!r}
+stage = __STAGE__
 cfg = smoltts_byte_150m().model_copy(
     update=dict(use_gradient_checkpointing=False, dropout=0.0))
 token_cfg = TokenConfig.smoltts_v0()
@@ -105,7 +105,7 @@ def main():
 
     results = {}
     for stage in args.stages:
-        src = STAGE_SRC.format(repo=str(REPO), stage=stage)
+        src = STAGE_SRC.replace("__REPO__", repr(str(REPO))).replace("__STAGE__", repr(stage))
         env = dict(os.environ, SMOLTTS_FUSED_FAST="1")
         t0 = time.time()
         try:

@@ -2,6 +2,7 @@
 reuse, and equivalence with single-stream generation at temperature 0."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ def audio_prompt(cfg, token_cfg, T, seed):
     return p
 
 
+@pytest.mark.slow
 def test_staggered_admission_matches_single_stream():
     cfg, token_cfg, params = setup()
     settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=5)

@@ -2,6 +2,7 @@
 fused pipeline output (greedy), including across slot reuse."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,7 @@ def single_stream_pcm(cfg, token_cfg, params, mimi_cfg, mimi_params, prompt, n_f
     return pcm
 
 
+@pytest.mark.slow
 def test_engine_pcm_matches_single_stream():
     cfg, token_cfg, params, mimi_cfg, mimi_params = setup()
     settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0, max_new_tokens=4)

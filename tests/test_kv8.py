@@ -18,6 +18,7 @@ serving capability (see ops/quant.py module docstring).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from smoltts_tpu.codec.config import MimiConfig
 from smoltts_tpu.lm.decode import decode_frame, flush_kv, init_decode_state, prefill
@@ -64,6 +65,7 @@ def _greedy_tokens(kv_dtype, n_frames=24, tail_len=8):
     return np.stack(frames)  # [F, B, rows]
 
 
+@pytest.mark.slow
 def test_greedy_kv8_agrees_with_bf16():
     """Quality gate: int8 history changes almost no greedy decisions."""
     ref = _greedy_tokens(jnp.bfloat16)
@@ -81,6 +83,7 @@ def test_kv8_flush_is_stable():
     assert agreement >= 0.9, f"kv8 cadence agreement {agreement:.3f} < 0.9"
 
 
+@pytest.mark.slow
 def test_codec_ring_kv8_pcm_snr():
     """Vocoder gate: streaming decode with the int8 codec ring stays within
     30 dB SNR of the bf16 ring on the same codes."""

@@ -74,6 +74,7 @@ def _run(cfg, token_cfg, settings, mimi_cfg, params, mimi_params, mesh=None, tp=
     return np.stack(frames), np.concatenate(pcms, axis=1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tp", [False, True])
 def test_sharded_serving_matches_single_device(tp):
     if len(jax.devices()) < 8:

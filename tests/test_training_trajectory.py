@@ -120,6 +120,7 @@ def jax_trajectory(cfg, params, batches):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_fifty_step_trajectory_matches_torch():
     import torch
 
