@@ -167,7 +167,12 @@ class DecodeEngine:
             finished=jnp.ones((num_slots,), bool)
         )
         self._ids = itertools.count()
-        self._seq = itertools.count()  # dispatch order of non-urgent records
+        # Dispatch order of non-urgent records. A plain int (not
+        # itertools.count) so EngineLoop can resume accounting from the
+        # engine's CURRENT position when attached to an engine that has
+        # already dispatched (otherwise its fetchers wait forever for
+        # sequence numbers that were consumed before the loop existed).
+        self._seq = 0
         self._free: List[int] = list(range(num_slots))
         self._streams: Dict[int, StreamHandle] = {}
         self._slot_to_stream: Dict[int, int] = {}
@@ -690,8 +695,9 @@ class DecodeEngine:
             self._since_flush += K
             self._queue.append(Record(
                 (*out, pcm), [(s, sid) for s, sid in live_slots], K,
-                seq=next(self._seq),
+                seq=self._seq,
             ))
+            self._seq += 1
             self.stats["dispatches"] += 1
             self.stats["frames_dispatched"] += K * len(live_slots)
             # Proactive slot reuse: the host knows a budget-limited stream's
@@ -742,8 +748,11 @@ class EngineLoop:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         # Account ordering for non-urgent records across parallel fetchers.
+        # Starts from the engine's CURRENT dispatch sequence so a loop
+        # attached to an already-used engine (server restart, test harness)
+        # doesn't wait for sequence numbers consumed before it existed.
         self._acct_cv = threading.Condition(self._lock)
-        self._next_acct = 0
+        self._next_acct = engine._seq
         # Must exceed inflight + fetch_every or the fetch threads would only
         # drain at idle (take_due holds `inflight` back and batches
         # `fetch_every` at a time).
@@ -801,7 +810,9 @@ class EngineLoop:
                         self._acct_cv.wait(0.05)
                 frames = self.engine.account([rec], [data])
                 if rec.seq is not None:
-                    self._next_acct = rec.seq + 1
+                    # max(): a record dispatched before this loop attached
+                    # (seq < initial _next_acct) must not regress the cursor.
+                    self._next_acct = max(self._next_acct, rec.seq + 1)
                     self._acct_cv.notify_all()
             self._emit(frames)
 
