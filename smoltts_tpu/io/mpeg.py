@@ -22,20 +22,25 @@ MPEG audio encoder from scratch:
 
 Two layers are implemented:
 
-- **Layer II** (ISO/IEC 13818-3 LSF) for the low-sampling-frequency rates
-  16/22.05/24 kHz — which includes this framework's native 24 kHz serving
-  rate. MPEG-2 LSF Layer II uses ONE allocation table for every bitrate
-  (unlike MPEG-1's per-bitrate table selection), making it the variant that
-  is implementable from scratch without the spec's printed tables at hand:
-  the class structure (grouped 3/5/9-step quantizers, C/D requantization
-  constants, scfsi scalefactor sharing) follows the standard's arithmetic,
-  which is fully determined by the class definitions reconstructed here and
-  cross-checked by the round-trip oracle.
-- **Layer I** for the MPEG-1 rates 32/44.1/48 kHz (shorter 384-sample
-  frames, single scalefactor, 4-bit allocation everywhere).
+- **Layer II** at every supported rate — the default for all `mp3_*`
+  response formats, including the ElevenLabs-default `mp3_44100_128`:
+  - ISO/IEC 13818-3 LSF variant for 16/22.05/24 kHz (which includes this
+    framework's native 24 kHz serving rate): one allocation table for every
+    bitrate.
+  - ISO/IEC 11172-3 MPEG-1 variant for 32/44.1/48 kHz: per-(rate, bitrate)
+    allocation table selection over tables B.2a-d, reconstructed from the
+    standard's class structure (the step ladders 3/5/7/9/15/... with the
+    C = 2M/steps, D = 1/2-or-1/M requantization family and the nbal field
+    widths per subband group) and cross-checked by the round-trip oracle.
+  The quantizer classes (grouped 3/5/9-step, ungrouped 7..65535-step),
+  scfsi scalefactor sharing, and bitstream framing are shared between the
+  two variants.
+- **Layer I** for the MPEG-1 rates (shorter 384-sample frames, single
+  scalefactor, 4-bit allocation everywhere) — kept as an explicit
+  `layer=1` fallback.
 
 Layer III remains out of scope (documented API deviation: the payload is
-standard MPEG audio with content type audio/mpeg, but Layer I/II frames,
+standard MPEG audio with content type audio/mpeg, but Layer II frames,
 which mainstream decoders — mpg123, ffmpeg, browsers — all play).
 """
 
@@ -217,18 +222,22 @@ def _allocate_bits(scf_idx: np.ndarray, budget: int) -> np.ndarray:
 
 # Layer II/III LSF bitrates (kbps), index 1..14 (13818-3).
 _BITRATES_L2_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+# MPEG-1 Layer II bitrates (kbps), index 1..14 (11172-3).
+_BITRATES_L2_V1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
 
 # Quantization classes: steps -> (bits per 3-sample granule, grouped, M).
 # Grouped classes pack 3 base-`steps` digits into one codeword. The
 # requantization constants are C = 2M/steps and D = 1/2 (grouped) or 1/M
 # (ungrouped); dequant is s = scf * C * ((u - M)/M + D), the same affine
-# family as Layer I (see decode below).
+# family as Layer I (see decode below). The 7-step class (MPEG-1 tables
+# only) is UNGROUPED with M=4 (C=8/7, D=1/4), reproducing ISO Table B.4.
 _L2_CLASSES = {
-    3: (5, True, 2), 5: (7, True, 4), 9: (10, True, 8),
+    3: (5, True, 2), 5: (7, True, 4), 7: (9, False, 4), 9: (10, True, 8),
     15: (12, False, 8), 31: (15, False, 16), 63: (18, False, 32),
     127: (21, False, 64), 255: (24, False, 128), 511: (27, False, 256),
     1023: (30, False, 512), 2047: (33, False, 1024), 4095: (36, False, 2048),
     8191: (39, False, 4096), 16383: (42, False, 8192),
+    32767: (45, False, 16384), 65535: (48, False, 32768),
 }
 
 # MPEG-2 LSF Layer II allocation table (one table for all bitrates):
@@ -245,6 +254,54 @@ def _l2_table(sb: int):
     if sb < 11:
         return 3, _L2_LSF_STEPS_MID
     return 2, _L2_LSF_STEPS_HI
+
+
+# MPEG-1 Layer II allocation tables (ISO/IEC 11172-3 Tables B.2a-d),
+# reconstructed from the standard's structure: step ladders per subband
+# group and nbal field widths. B.2a (sblimit 27) and B.2b (sblimit 30)
+# share the same per-group ladders and differ only in how many top
+# subbands carry the 2-bit [0,3,5,65535] ladder; B.2c (8) / B.2d (12)
+# are the low-bitrate tables.
+_L2_V1_STEPS_02 = [0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535]
+_L2_V1_STEPS_310 = [0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535]
+_L2_V1_STEPS_1122 = [0, 3, 5, 7, 9, 15, 31, 65535]
+_L2_V1_STEPS_TOP = [0, 3, 5, 65535]
+_L2_V1_STEPS_C01 = [0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767]
+_L2_V1_STEPS_C2P = [0, 3, 5, 9, 15, 31, 63, 127]
+
+
+def _l2_table_v1_ab(sb: int):
+    if sb < 3:
+        return 4, _L2_V1_STEPS_02
+    if sb < 11:
+        return 4, _L2_V1_STEPS_310
+    if sb < 23:
+        return 3, _L2_V1_STEPS_1122
+    return 2, _L2_V1_STEPS_TOP
+
+
+def _l2_table_v1_cd(sb: int):
+    if sb < 2:
+        return 4, _L2_V1_STEPS_C01
+    return 3, _L2_V1_STEPS_C2P
+
+
+# table id -> (sblimit, per-subband table fn)
+_L2_V1_TABLES = {
+    0: (27, _l2_table_v1_ab),
+    1: (30, _l2_table_v1_ab),
+    2: (8, _l2_table_v1_cd),
+    3: (12, _l2_table_v1_cd),
+}
+
+# MPEG-1 Layer II table selection for MONO streams, by sampling rate and
+# bitrate index (1..14). Matches the decoder-side mapping mainstream
+# implementations use (11172-3 2.4.2.1: selection by per-channel bitrate).
+_L2_V1_TABLE_SELECT = {
+    44100: [0, 2, 2, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    48000: [0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    32000: [0, 3, 3, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+}
 
 
 def _l2_quant(x: np.ndarray, steps: int) -> np.ndarray:
@@ -276,23 +333,25 @@ def _l2_scfsi(s0: int, s1: int, s2: int):
     return 0b00, [s0, s1, s2]
 
 
-def _l2_allocate(amp: np.ndarray, scf_cost: np.ndarray, budget: int) -> List[int]:
+def _l2_allocate(
+    amp: np.ndarray, scf_cost: np.ndarray, budget: int, sblimit: int, table
+) -> List[int]:
     """Greedy waterfilling over allocation indices. amp [sblimit] = subband
     peak amplitude; scf_cost [sblimit] = scfsi+scalefactor bits if coded.
     Returns allocation index per subband."""
-    alloc = [0] * _L2_SBLIMIT
+    alloc = [0] * sblimit
     spent = 0
 
     def gran_bits(sb, idx):
         if idx == 0:
             return 0
-        _, steps_list = _l2_table(sb)
+        _, steps_list = table(sb)
         return 12 * _L2_CLASSES[steps_list[idx]][0]
 
     while True:
         best, best_need = -1, 0.0
-        for sb in range(_L2_SBLIMIT):
-            _, steps_list = _l2_table(sb)
+        for sb in range(sblimit):
+            _, steps_list = table(sb)
             idx = alloc[sb]
             if idx + 1 >= len(steps_list):
                 continue
@@ -316,14 +375,22 @@ def _l2_allocate(amp: np.ndarray, scf_cost: np.ndarray, budget: int) -> List[int
     return alloc
 
 
-def _encode_layer2_lsf(
+def _encode_layer2(
     pcm: np.ndarray, sample_rate: int, bitrate_kbps: int
 ) -> bytes:
-    """MPEG-2 LSF Layer II, mono. Frame = 1152 samples (36 granule rows of
-    32 subbands = 12 three-sample granules per subband)."""
-    _, sr_index = _RATES[sample_rate]
-    br_index = _pick_bitrate(max(bitrate_kbps, 48), _BITRATES_L2_V2)
-    bitrate = _BITRATES_L2_V2[br_index] * 1000
+    """MPEG Audio Layer II, mono. Frame = 1152 samples (36 granule rows of
+    32 subbands = 12 three-sample granules per subband). Covers both the
+    MPEG-2 LSF rates (single allocation table) and the MPEG-1 rates
+    (per-(rate, bitrate) table selection over B.2a-d)."""
+    version, sr_index = _RATES[sample_rate]
+    if version == 0b11:  # MPEG-1
+        br_index = _pick_bitrate(max(bitrate_kbps, 56), _BITRATES_L2_V1)
+        bitrate = _BITRATES_L2_V1[br_index] * 1000
+        sblimit, table = _L2_V1_TABLES[_L2_V1_TABLE_SELECT[sample_rate][br_index]]
+    else:  # MPEG-2 LSF
+        br_index = _pick_bitrate(max(bitrate_kbps, 48), _BITRATES_L2_V2)
+        bitrate = _BITRATES_L2_V2[br_index] * 1000
+        sblimit, table = _L2_SBLIMIT, _l2_table
 
     pcm = np.asarray(pcm, np.float64).reshape(-1)
     pcm = np.clip(pcm, -0.999, 0.999)
@@ -332,7 +399,7 @@ def _encode_layer2_lsf(
     pcm = np.pad(pcm, (0, n_frames * frame_samples - len(pcm)))
     sub = analyze(pcm).reshape(n_frames, 36, _SUBBANDS)
 
-    frame_bytes = (144 * bitrate) // sample_rate  # slot = 1 byte
+    frame_bytes = (144 * bitrate) // sample_rate  # slot = 1 byte, no padding
 
     out = bytearray()
     for f in range(n_frames):
@@ -344,23 +411,23 @@ def _encode_layer2_lsf(
             np.searchsorted(-_SCALEFACTORS, -pmax, side="right") - 1, 0, 62
         ).astype(np.int64)  # [3, 32]
 
-        scfsi = np.zeros(_L2_SBLIMIT, np.int64)
+        scfsi = np.zeros(sblimit, np.int64)
         txscf: List[List[int]] = []
-        scf_cost = np.zeros(_L2_SBLIMIT, np.int64)
-        for sb in range(_L2_SBLIMIT):
+        scf_cost = np.zeros(sblimit, np.int64)
+        for sb in range(sblimit):
             si, tx = _l2_scfsi(*(int(scf_idx[p, sb]) for p in range(3)))
             scfsi[sb] = si
             txscf.append(tx)
             scf_cost[sb] = 2 + 6 * len(tx)
 
-        alloc_field_bits = sum(_l2_table(sb)[0] for sb in range(_L2_SBLIMIT))
+        alloc_field_bits = sum(table(sb)[0] for sb in range(sblimit))
         budget = frame_bytes * 8 - 32 - alloc_field_bits
-        amp = np.abs(s[:, :_L2_SBLIMIT]).max(axis=0)
-        alloc = _l2_allocate(amp, scf_cost, budget)
+        amp = np.abs(s[:, :sblimit]).max(axis=0)
+        alloc = _l2_allocate(amp, scf_cost, budget, sblimit, table)
 
         w = _BitWriter()
         w.write(0x7FF, 11)
-        w.write(0b10, 2)            # MPEG-2 LSF
+        w.write(version, 2)         # MPEG-1 / MPEG-2 LSF
         w.write(0b10, 2)            # Layer II
         w.write(1, 1)               # no CRC
         w.write(br_index, 4)
@@ -373,20 +440,20 @@ def _encode_layer2_lsf(
         w.write(1, 1)
         w.write(0, 2)
 
-        for sb in range(_L2_SBLIMIT):
-            nbal, _ = _l2_table(sb)
+        for sb in range(sblimit):
+            nbal, _ = table(sb)
             w.write(alloc[sb], nbal)
-        for sb in range(_L2_SBLIMIT):
+        for sb in range(sblimit):
             if alloc[sb]:
                 w.write(int(scfsi[sb]), 2)
-        for sb in range(_L2_SBLIMIT):
+        for sb in range(sblimit):
             if alloc[sb]:
                 for v in txscf[sb]:
                     w.write(int(v), 6)
 
         # Effective (dequant-side) scalefactor per part given scfsi sharing.
-        eff_scf = np.empty((3, _L2_SBLIMIT))
-        for sb in range(_L2_SBLIMIT):
+        eff_scf = np.empty((3, sblimit))
+        for sb in range(sblimit):
             tx = txscf[sb]
             si = int(scfsi[sb])
             if si == 0b00:
@@ -401,10 +468,10 @@ def _encode_layer2_lsf(
 
         for g in range(12):  # 12 granules of 3 samples
             part = g // 4
-            for sb in range(_L2_SBLIMIT):
+            for sb in range(sblimit):
                 if not alloc[sb]:
                     continue
-                _, steps_list = _l2_table(sb)
+                _, steps_list = table(sb)
                 steps = steps_list[alloc[sb]]
                 bits3, grouped, _ = _L2_CLASSES[steps]
                 x = s[3 * g : 3 * g + 3, sb] / eff_scf[part, sb]
@@ -428,22 +495,19 @@ def encode_mpeg_audio(
 ) -> bytes:
     """Encode mono float PCM [-1, 1] to an MPEG Audio stream.
 
-    layer=None auto-selects: Layer II at the MPEG-2 LSF rates
-    (16/22.05/24 kHz — the framework's native serving rates), Layer I at the
-    MPEG-1 rates (32/44.1/48 kHz)."""
+    layer=None auto-selects Layer II at every supported rate (MPEG-2 LSF
+    variant at 16/22.05/24 kHz, MPEG-1 variant at 32/44.1/48 kHz — so the
+    ElevenLabs-default `mp3_44100_128` gets Layer II); pass layer=1 for the
+    Layer I fallback at the MPEG-1 rates."""
     if sample_rate not in _RATES:
         raise NotImplementedError(
             f"mpeg encoding unsupported at {sample_rate} Hz "
             f"(supported: {sorted(_RATES)})"
         )
     if layer is None:
-        layer = 2 if sample_rate in _LSF_LAYER2_RATES else 1
+        layer = 2
     if layer == 2:
-        if sample_rate not in _LSF_LAYER2_RATES:
-            raise NotImplementedError(
-                f"Layer II implemented for LSF rates {sorted(_LSF_LAYER2_RATES)}"
-            )
-        return _encode_layer2_lsf(pcm, sample_rate, bitrate_kbps)
+        return _encode_layer2(pcm, sample_rate, bitrate_kbps)
     version, sr_index = _RATES[sample_rate]
     table = _BITRATES_V1 if version == 0b11 else _BITRATES_V2
     br_index = _pick_bitrate(max(bitrate_kbps, 64), table)
@@ -527,16 +591,17 @@ class _BitReader:
         return v
 
 
-def _decode_layer2_frame(r: "_BitReader") -> np.ndarray:
-    """Parse one LSF Layer II frame body (after the 32-bit header) ->
-    subband samples [36, 32]."""
+def _decode_layer2_frame(r: "_BitReader", sblimit: int, table) -> np.ndarray:
+    """Parse one Layer II frame body (after the 32-bit header) ->
+    subband samples [36, 32]. `sblimit`/`table` select the LSF or
+    MPEG-1 allocation table the encoder used (derived from the header)."""
     alloc = []
-    for sb in range(_L2_SBLIMIT):
-        nbal, steps_list = _l2_table(sb)
+    for sb in range(sblimit):
+        nbal, steps_list = table(sb)
         alloc.append(steps_list[r.read(nbal)])
-    scfsi = [r.read(2) if alloc[sb] else 0 for sb in range(_L2_SBLIMIT)]
+    scfsi = [r.read(2) if alloc[sb] else 0 for sb in range(sblimit)]
     scf = np.ones((3, _SUBBANDS))
-    for sb in range(_L2_SBLIMIT):
+    for sb in range(sblimit):
         if not alloc[sb]:
             continue
         si = scfsi[sb]
@@ -554,7 +619,7 @@ def _decode_layer2_frame(r: "_BitReader") -> np.ndarray:
     s = np.zeros((36, _SUBBANDS))
     for g in range(12):
         part = g // 4
-        for sb in range(_L2_SBLIMIT):
+        for sb in range(sblimit):
             steps = alloc[sb]
             if not steps:
                 continue
@@ -609,10 +674,16 @@ def decode_mpeg_audio(data: bytes) -> Tuple[np.ndarray, int]:
                         float(1 << nb) / (float(1 << nb) - 1.0)
                     )
                     s[g, sb] = s2 * scf[sb]
-        elif layer_bits == 0b10:  # Layer II (LSF)
-            assert version == 0b10, "Layer II decode oracle covers LSF only"
-            frame_bytes = (144 * _BITRATES_L2_V2[br_index] * 1000) // sample_rate
-            s = _decode_layer2_frame(r)
+        elif layer_bits == 0b10:  # Layer II
+            if version == 0b10:  # LSF
+                frame_bytes = (144 * _BITRATES_L2_V2[br_index] * 1000) // sample_rate
+                s = _decode_layer2_frame(r, _L2_SBLIMIT, _l2_table)
+            else:  # MPEG-1: table selection must mirror the encoder's
+                frame_bytes = (144 * _BITRATES_L2_V1[br_index] * 1000) // sample_rate
+                sblimit, table = _L2_V1_TABLES[
+                    _L2_V1_TABLE_SELECT[sample_rate][br_index]
+                ]
+                s = _decode_layer2_frame(r, sblimit, table)
         else:
             raise AssertionError(f"unsupported layer bits {layer_bits:#b}")
         subbands.append(s)

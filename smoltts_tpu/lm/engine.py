@@ -748,11 +748,18 @@ class EngineLoop:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         # Account ordering for non-urgent records across parallel fetchers.
-        # Starts from the engine's CURRENT dispatch sequence so a loop
-        # attached to an already-used engine (server restart, test harness)
-        # doesn't wait for sequence numbers consumed before it existed.
+        # Starts from the oldest record still sitting in the engine's queue
+        # at attach time (server restart, test harness): records dispatched
+        # before the loop existed must still drain through the in-order
+        # cursor, or with fetchers>1 they could be accounted/emitted out of
+        # dispatch order per stream. Sequence numbers consumed before the
+        # loop existed AND already fetched never reappear, so starting at
+        # the queue minimum (falling back to the current cursor) is safe.
         self._acct_cv = threading.Condition(self._lock)
-        self._next_acct = engine._seq
+        self._next_acct = min(
+            (r.seq for r in engine._queue if r.seq is not None),
+            default=engine._seq,
+        )
         # Must exceed inflight + fetch_every or the fetch threads would only
         # drain at idle (take_due holds `inflight` back and batches
         # `fetch_every` at a time).

@@ -14,11 +14,14 @@ random-init trees are the measured distribution):
 
 1. int8 LM: teacher-forced CE delta < 2% and mean token KL < 0.02 on a
    synthetic labeled batch (greedy-agreement is noise at random init).
-2. int8 LM sampling distribution: KL between the ACTUAL sampling
-   distributions (temperature + min-p filter applied, audio-constrained)
-   of dense vs quantized logits < 0.02 — the temp>0 analogue of greedy
-   agreement, computed analytically over the full distribution rather than
-   by Monte-Carlo draws.
+2. int8 LM sampling distribution: Jensen-Shannon divergence between the
+   ACTUAL sampling distributions (temperature + min-p filter applied,
+   audio-constrained) of dense vs quantized logits < 0.05, with a loose
+   support-flip-mass ceiling (< 0.15) as a hard backstop — the temp>0
+   analogue of greedy agreement, computed analytically over the full
+   distribution rather than by Monte-Carlo draws. (JS, not KL: min-p
+   keep-set membership is knife-edge at flat distributions and hard-support
+   KL diverges on a measurement artifact; see gate_int8_lm.)
 3. int8 vocoder: PCM SNR > 25 dB decoding GENERATED (greedy, dense-LM)
    codes — not random codes — through dense vs quantized Mimi.
 4. kv8: (a) per-vector int8 round-trip SNR > 30 dB on REAL prefill K/V
@@ -124,14 +127,19 @@ def gate_int8_lm(
         "int8_kl_codebook": kl_cb, "int8_js_sampling": js_sample,
         "int8_sampling_flip_mass": flip_mass,
     }
-    # flip_mass is REPORTED, not gated: for flat distributions (random init)
-    # the min-p keep set is inherently chaotic — a measured 150M random-init
-    # tree flips ~6% of mass while its JS stays at 0.025, i.e. the flipped
-    # tokens sit exactly at the threshold where keeping or dropping them is
-    # behaviorally equivalent. JS already charges every flip its true
-    # probability mass, so it is the robust gate for both flat and peaked
-    # distributions.
-    if ce_delta >= 0.02 or kl_tok >= 0.02 or kl_cb >= 0.02 or js_sample >= 0.05:
+    # flip_mass gets only a LOOSE ceiling (0.15): for flat distributions
+    # (random init) the min-p keep set is inherently chaotic — a measured
+    # 150M random-init tree flips ~6% of mass while its JS stays at 0.025,
+    # i.e. the flipped tokens sit exactly at the threshold where keeping or
+    # dropping them is behaviorally equivalent. JS already charges every
+    # flip its true probability mass, so it is the primary gate for both
+    # flat and peaked distributions; the flip-mass ceiling is a hard
+    # backstop for the case where quantization genuinely reshapes the
+    # min-p keep set (large mass moving across the threshold).
+    if (
+        ce_delta >= 0.02 or kl_tok >= 0.02 or kl_cb >= 0.02
+        or js_sample >= 0.05 or flip_mass >= 0.15
+    ):
         raise QuantGateError(f"int8 LM gate failed: {metrics}")
     return metrics
 

@@ -45,13 +45,48 @@ def test_header_fields_and_frame_size_layer2():
 
 
 def test_header_fields_and_frame_size_layer1():
-    # MPEG-1 rates keep Layer I.
-    data = encode_mpeg_audio(tone(1000, 44_100), 44_100, bitrate_kbps=128)
+    # Layer I stays available as an explicit fallback at the MPEG-1 rates.
+    data = encode_mpeg_audio(tone(1000, 44_100), 44_100, bitrate_kbps=128, layer=1)
     assert data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     assert (data[1] >> 3) & 0b11 == 0b11  # MPEG-1
     assert (data[1] >> 1) & 0b11 == 0b11  # Layer I
     n = 4 * (12 * 128000 // 44100)
     assert data[n] == 0xFF and (data[n + 1] & 0xE0) == 0xE0
+
+
+def test_header_fields_and_frame_size_layer2_mpeg1():
+    # 44.1 kHz now auto-selects MPEG-1 Layer II (the mp3_44100_* family).
+    data = encode_mpeg_audio(tone(1000, 44_100), 44_100, bitrate_kbps=128)
+    assert data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    assert (data[1] >> 3) & 0b11 == 0b11  # MPEG-1
+    assert (data[1] >> 1) & 0b11 == 0b10  # Layer II
+    n = 144 * 128000 // 44100
+    assert data[n] == 0xFF and (data[n + 1] & 0xE0) == 0xE0
+
+
+@pytest.mark.parametrize(
+    "rate,kbps",
+    [(44_100, 128), (44_100, 64), (48_000, 128), (32_000, 96), (48_000, 320)],
+)
+def test_layer2_mpeg1_roundtrip_tone_snr(rate, kbps):
+    # Spans all three MPEG-1 table selections: B.2c (44.1@64 mono->48),
+    # B.2a (48k), B.2b (44.1@128, 32k@96).
+    x = tone(1000, rate)
+    data = encode_mpeg_audio(x, rate, bitrate_kbps=kbps)
+    y, got_rate = decode_mpeg_audio(data)
+    assert got_rate == rate
+    n = min(len(x), len(y)) - 600
+    assert snr_db(x[:n], y[:n]) > 30.0
+
+
+def test_layer2_mpeg1_roundtrip_speechlike():
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal(44_100)
+    x = np.convolve(w, np.ones(8) / 8.0, mode="same") * 0.4
+    data = encode_mpeg_audio(x, 44_100, bitrate_kbps=128)
+    y, _ = decode_mpeg_audio(data)
+    n = len(x) - 600
+    assert snr_db(x[:n], y[:n]) > 18.0
 
 
 @pytest.mark.parametrize("rate,kbps", [(16_000, 96), (22_050, 128), (24_000, 128)])
@@ -88,7 +123,8 @@ def test_layer2_bitrate_scales_quality():
 @pytest.mark.parametrize("rate,kbps", [(16_000, 192), (24_000, 192), (44_100, 320)])
 def test_roundtrip_tone_snr(rate, kbps):
     x = tone(440 if rate < 40_000 else 1000, rate)
-    data = encode_mpeg_audio(x, rate, bitrate_kbps=kbps)
+    layer = 1 if rate == 44_100 else None  # explicit Layer I on MPEG-1 rates
+    data = encode_mpeg_audio(x, rate, bitrate_kbps=kbps, layer=layer)
     y, got_rate = decode_mpeg_audio(data)
     assert got_rate == rate
     n = min(len(x), len(y)) - 600
@@ -118,6 +154,7 @@ def test_transcode_mp3_route():
     data, media_type = transcode(pcm.astype(np.float32), "mp3_24000_128")
     assert media_type == "audio/mpeg"
     assert data[0] == 0xFF
-    # resampling path: 44.1 kHz MPEG-1 output
+    # resampling path: 44.1 kHz MPEG-1 Layer II output
     data2, _ = transcode(pcm.astype(np.float32), "mp3_44100_128")
     assert (data2[1] >> 3) & 0b11 == 0b11  # MPEG-1 for 44.1 kHz
+    assert (data2[1] >> 1) & 0b11 == 0b10  # Layer II
