@@ -96,6 +96,7 @@ class DecodeEngine:
         emit_int16: bool = False,
         chunk_frames: int = 1,
         tail_len: int = 128,
+        admit_sizes: Optional[List[int]] = None,
     ):
         # chunk_frames > 1 enables ADAPTIVE CHUNKED DISPATCH: when no
         # admissions are pending, one device program advances K frames
@@ -120,6 +121,20 @@ class DecodeEngine:
         self.num_slots = num_slots
         self.S = max_seq_len or cfg.max_seq_len
         self.prompt_bucket = prompt_bucket
+        # Admission batch sizes the engine may dispatch (compile key is
+        # (n_new, T) — each size is one more program to compile). Default:
+        # every power of two up to num_slots. A serving deployment that
+        # must bound cold-compile count (e.g. the bench under its wall-clock
+        # budget) can restrict this to e.g. {1, 4, num_slots}: admissions
+        # decompose greedily over the allowed sizes (7 -> 4+1+1+1), so any
+        # batch still admits — just in more dispatches. 1 is always included
+        # (progress guarantee).
+        if admit_sizes is None:
+            admit_sizes, n = [], 1
+            while n <= num_slots:
+                admit_sizes.append(n)
+                n *= 2
+        self.admit_sizes = sorted({1} | {int(s) for s in admit_sizes if s <= num_slots})
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
 
         # Length bucketing: the frame step compiles once per attend bucket and
@@ -348,42 +363,88 @@ class DecodeEngine:
     def active(self) -> int:
         return len(self._streams)
 
-    def warm(self, prompt_len: Optional[int] = None) -> None:
-        """Pre-compile every program a serving run can hit: admission at all
-        power-of-two batch sizes (compile key is (n_new, T) — continuous
-        churn admits at arbitrary powers of two), the decode/vocode step
-        (single-frame and chunked) at the first attend bucket, and the ring
+    def warm(
+        self,
+        prompt_len: Optional[int] = None,
+        buckets: Optional[List[int]] = None,
+        parallel: int = 0,
+        progress=None,
+    ) -> None:
+        """Pre-compile every program a serving run can hit: admission at the
+        engine's `admit_sizes` (compile key is (n_new, T)), the decode/vocode
+        step (single-frame and chunked) at each attend bucket, and the ring
         flush. Results are discarded; engine state is untouched. Call once
-        at server boot so no compile lands inside a live request."""
+        at server boot so no compile lands inside a live request.
+
+        `buckets` restricts which attend buckets are compiled (default all —
+        a run whose positions provably stay under bucket b only needs b).
+        `parallel` > 0 issues the compiles from that many threads: on
+        remote-compile runtimes (this host's tunneled TPU) the service
+        compiles concurrently, so the cold wall-clock approaches
+        max(program) instead of sum(program). `progress` is an optional
+        callable(str) invoked as each program lands."""
         T = prompt_len or self.prompt_bucket
-        n = 1
         dummy_rng = jax.random.PRNGKey(0)
-        while n <= self.num_slots:
-            slots = jnp.arange(n, dtype=jnp.int32)
-            prompt = jnp.zeros((n, self.cfg.num_rows, T), jnp.int32)
-            lens = jnp.full((n,), T, jnp.int32)
-            _, out = self._admit_fn(n, T)(
-                self.params, self.state, slots, prompt, lens, dummy_rng
-            )
-            if self.mimi_state is not None:
-                self._admit_vocode_fn(n)(
-                    self.mimi_params, self.mimi_state, slots, out.audio_codes
+        note = progress or (lambda s: None)
+
+        jobs = []
+        for n in self.admit_sizes:
+            def admit_job(n=n):
+                slots = jnp.arange(n, dtype=jnp.int32)
+                prompt = jnp.zeros((n, self.cfg.num_rows, T), jnp.int32)
+                lens = jnp.full((n,), T, jnp.int32)
+                _, out = self._admit_fn(n, T)(
+                    self.params, self.state, slots, prompt, lens, dummy_rng
                 )
-            n *= 2
-        for lim in self.attend_buckets:
-            if self.mimi_state is not None:
-                self._decode_vocode(
-                    self.params, self.mimi_params, self.state, self.mimi_state,
-                    dummy_rng, lim,
-                )
-                if self.chunk_frames > 1:
-                    self._decode_vocode_chunk(
+                if self.mimi_state is not None:
+                    out2 = self._admit_vocode_fn(n)(
+                        self.mimi_params, self.mimi_state, slots, out.audio_codes
+                    )
+                    jax.block_until_ready(out2)
+                jax.block_until_ready(out.audio_codes)
+                note(f"warm admit n={n}")
+
+            jobs.append(admit_job)
+        for lim in buckets if buckets is not None else self.attend_buckets:
+            def bucket_job(lim=lim):
+                if self.mimi_state is not None:
+                    r = self._decode_vocode(
                         self.params, self.mimi_params, self.state,
                         self.mimi_state, dummy_rng, lim,
                     )
-            else:
-                self._decode(self.params, self.state, dummy_rng, lim)
-        self._flush(self.state, self.mimi_state)
+                    jax.block_until_ready(r[3])
+                    note(f"warm step bucket={lim}")
+                    if self.chunk_frames > 1:
+                        r = self._decode_vocode_chunk(
+                            self.params, self.mimi_params, self.state,
+                            self.mimi_state, dummy_rng, lim,
+                        )
+                        jax.block_until_ready(r[3])
+                        note(f"warm chunk bucket={lim}")
+                else:
+                    r = self._decode(self.params, self.state, dummy_rng, lim)
+                    jax.block_until_ready(r[1].audio_codes)
+                    note(f"warm step bucket={lim}")
+
+            jobs.append(bucket_job)
+
+        def flush_job():
+            jax.block_until_ready(self._flush(self.state, self.mimi_state)[0].pos)
+            note("warm flush")
+
+        jobs.append(flush_job)
+
+        if parallel > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # Tracing is thread-safe in JAX; the remote compile (where the
+            # time goes) releases the GIL. Exceptions propagate.
+            with ThreadPoolExecutor(max_workers=parallel) as ex:
+                for f in [ex.submit(j) for j in jobs]:
+                    f.result()
+        else:
+            for j in jobs:
+                j()
         jax.block_until_ready(self.state.pos)
 
     def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> int:
@@ -472,13 +533,13 @@ class DecodeEngine:
         """Prefill queued prompts into free slots; enqueue their first frames
         (fetched later by the in-flight pipeline).
 
-        Admission batch sizes are quantized to powers of two (an admission
-        of 7 runs as 4+2+1): the admit program compiles per (n_new, T), and
-        continuous churn would otherwise hit arbitrary n — a compile storm
-        at serving time. Power-of-two sizes bound the variants to log2(B)."""
+        Admission batch sizes are quantized to `admit_sizes` (default all
+        powers of two; an admission of 7 runs as 4+2+1): the admit program
+        compiles per (n_new, T), and continuous churn would otherwise hit
+        arbitrary n — a compile storm at serving time."""
         while self._pending and self._free:
             n = min(len(self._pending), len(self._free))
-            n = 1 << (n.bit_length() - 1)  # largest power of two <= n
+            n = max(s for s in self.admit_sizes if s <= n)  # largest allowed
             batch = [self._pending.pop(0) for _ in range(n)]
             slots = [self._free.pop(0) for _ in range(n)]
             for (sid, _), slot in zip(batch, slots):

@@ -258,3 +258,80 @@ def run_quant_gates(
     if kv8:
         metrics.update(gate_kv8(cfg, token_cfg, params_dense))
     return metrics
+
+
+def _gate_cache_key(cfg, mimi_cfg, settings, int8: bool, kv8: bool) -> str:
+    """Content hash over everything a gate verdict depends on: the full
+    smoltts_tpu source tree (the gates exercise forward, decode, sampling,
+    and the codec — any of it changing must invalidate), the model/codec
+    configs, the sampler settings, and the enabled modes. Seeds are fixed
+    defaults inside the gate functions, covered by the source hash."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    root = Path(__file__).resolve().parent.parent  # smoltts_tpu/
+    for p in sorted(root.rglob("*.py")):
+        h.update(p.read_bytes())
+    h.update(cfg.model_dump_json().encode())
+    h.update(repr(sorted(vars(mimi_cfg).items())).encode())
+    h.update(repr(settings).encode())
+    h.update(f"int8={int8} kv8={kv8}".encode())
+    return h.hexdigest()
+
+
+def run_quant_gates_cached(
+    cfg, token_cfg, settings, mimi_cfg,
+    params_dense, params_q, mimi_dense, mimi_q,
+    *, int8: bool, kv8: bool,
+    cache_path: Optional[str] = None,
+    device=None,
+) -> Dict[str, float]:
+    """`run_quant_gates` with (a) a cached verdict and (b) optional device
+    pinning.
+
+    The gate computation is deterministic given the code, configs, and
+    seeds (the parameter trees are derived from fixed seeds), so the bench
+    doesn't have to spend its wall-clock budget re-proving the same
+    invariant every run: the verdict is cached in `cache_path` keyed on a
+    hash of the source tree + configs (committed to the repo, so a fresh
+    driver run with unchanged code hits it). A FAILED gate is never cached
+    — it raises, every run.
+
+    `device` (e.g. a CPU device alongside the TPU platform) moves the gate
+    math off the accelerator: gates are quality checks, not perf
+    measurements, and on remote-compile runtimes each 150M gate program
+    costs minutes of cold compile for zero information gain."""
+    import json
+    from pathlib import Path
+
+    key = None
+    if cache_path is not None:
+        key = _gate_cache_key(cfg, mimi_cfg, settings, int8, kv8)
+        p = Path(cache_path)
+        if p.exists():
+            try:
+                blob = json.loads(p.read_text())
+                if blob.get("key") == key:
+                    return dict(blob["metrics"], gate_cached=1.0)
+            except (ValueError, KeyError):
+                pass
+
+    trees = (params_dense, params_q, mimi_dense, mimi_q)
+    if device is not None:
+        trees = jax.device_put(trees, device)
+        ctx = jax.default_device(device)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        metrics = run_quant_gates(
+            cfg, token_cfg, settings, mimi_cfg, *trees, int8=int8, kv8=kv8
+        )
+    metrics = {k: float(v) for k, v in metrics.items()}
+    if cache_path is not None:
+        Path(cache_path).write_text(
+            json.dumps({"key": key, "metrics": metrics}, indent=1)
+        )
+    return metrics

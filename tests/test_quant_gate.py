@@ -100,3 +100,29 @@ def test_kv8_gate_runs_on_real_prefill_tensors():
     cfg, token_cfg, params, _, _ = setup()
     m = gate_kv8(cfg, token_cfg, params)
     assert m["kv8_roundtrip_snr_db"] > 30.0
+
+
+def test_cached_gates_hit_and_invalidate(tmp_path):
+    from smoltts_tpu.ops.quant_gate import run_quant_gates_cached
+
+    cfg, token_cfg, params, mimi_cfg, mimi = setup()
+    settings = GenerationSettings(default_temp=0.7, default_fast_temp=0.7, min_p=0.05)
+    cache = str(tmp_path / "gate_cache.json")
+    args = (cfg, token_cfg, settings, mimi_cfg,
+            params, quantize_decode_params(params),
+            mimi, quantize_mimi_params(mimi))
+    m1 = run_quant_gates_cached(*args, int8=True, kv8=True, cache_path=cache)
+    assert "gate_cached" not in m1 and m1["int8_ce_delta"] < 0.02
+    # Second call: verdict comes from the cache, marked as such.
+    m2 = run_quant_gates_cached(*args, int8=True, kv8=True, cache_path=cache)
+    assert m2.pop("gate_cached") == 1.0
+    assert m2 == {k: float(v) for k, v in m1.items()}
+    # A different config misses the cache (fresh verdict, no marker).
+    cfg2 = tiny_debug_config(codebook_size=CB, vocab_size=256 + 64 + CB, n_layer=1)
+    params2 = init_params(cfg2, jax.random.PRNGKey(0), dtype=jnp.float32)
+    m3 = run_quant_gates_cached(
+        cfg2, token_cfg, settings, mimi_cfg,
+        params2, quantize_decode_params(params2),
+        mimi, quantize_mimi_params(mimi),
+        int8=True, kv8=False, cache_path=cache)
+    assert "gate_cached" not in m3
