@@ -261,6 +261,14 @@ class TrainingConfig(BaseModel):
     seed: int = 0
     log_every_n_steps: int = 10
     remat_policy: str = "none"  # "none" | "dots" (see models/dual_ar.run_trunk)
+    # >0: compute the fast-trunk + codebook-CE fused and CHUNKED over the
+    # time axis (fast_chunk_t slow positions per chunk) instead of
+    # materializing the [B, T, n, codebook_size] logits — the dominant
+    # training activation (~0.4 GB bf16 at batch 16 x seq 768, plus fp32
+    # softmax residuals held for backward). Identical losses/grads
+    # (tests/test_chunked_loss.py); unlocks batch >= 32 at 150M on 16 GB.
+    # Must divide the padded sequence length. 0 = dense path.
+    fast_chunk_t: int = 0
     # >0: capture a jax.profiler trace over steps [2, 2+profile_steps) — the
     # TPU equivalent of the reference's nsys run config
     # (config/kokoro_v0.19/pg_kokoro_wte_nsys.json).

@@ -301,6 +301,51 @@ def fast_output_logits(
     return mm(fast_out, w)
 
 
+def _slow_forward(
+    params: DualARParams,
+    cfg: DualARConfig,
+    tokens: jnp.ndarray,
+    *,
+    dropout: float,
+    dropout_rng: Optional[jax.Array],
+    embed_mask_mode: str,
+    semantic_start_id: int,
+    semantic_end_id: int,
+    activation_sharding,
+    remat_policy: str,
+    remat: bool,
+) -> jnp.ndarray:
+    """Embed-merge + slow trunk -> pre-norm hidden states [B, T, dim]."""
+    x = embed_merge(
+        params,
+        cfg,
+        tokens,
+        embed_mask_mode=embed_mask_mode,
+        semantic_start_id=semantic_start_id,
+        semantic_end_id=semantic_end_id,
+    )
+    if activation_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, activation_sharding)
+    T = tokens.shape[-1]
+    cos, sin = rope_cos_sin(jnp.arange(T), cfg.head_dim, cfg.rope_base)
+    x = run_trunk(
+        params["layers"],
+        x,
+        slow_dims(cfg),
+        cos,
+        sin,
+        is_causal=True,
+        dropout_rate=dropout,
+        dropout_rng=dropout_rng,
+        norm_eps=cfg.norm_eps,
+        remat=remat,
+        remat_policy=remat_policy,
+    )
+    if activation_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, activation_sharding)
+    return x
+
+
 def forward_train(
     params: DualARParams,
     cfg: DualARConfig,
@@ -326,7 +371,7 @@ def forward_train(
     """
     B, R, T = tokens.shape
     assert R == cfg.num_rows, f"expected {cfg.num_rows} rows, got {R}"
-    sdims, fdims = slow_dims(cfg), fast_dims(cfg)
+    fdims = fast_dims(cfg)
     dropout = cfg.dropout if train else 0.0
     rngs = (
         jax.random.split(dropout_rng, 2)
@@ -335,33 +380,16 @@ def forward_train(
     )
 
     # ---- slow trunk ----
-    x = embed_merge(
-        params,
-        cfg,
-        tokens,
+    x = _slow_forward(
+        params, cfg, tokens,
+        dropout=dropout, dropout_rng=rngs[0],
         embed_mask_mode=embed_mask_mode,
         semantic_start_id=semantic_start_id,
         semantic_end_id=semantic_end_id,
-    )
-    if activation_sharding is not None:
-        x = jax.lax.with_sharding_constraint(x, activation_sharding)
-    positions = jnp.arange(T)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
-    x = run_trunk(
-        params["layers"],
-        x,
-        sdims,
-        cos,
-        sin,
-        is_causal=True,
-        dropout_rate=dropout,
-        dropout_rng=rngs[0],
-        norm_eps=cfg.norm_eps,
-        remat=cfg.use_gradient_checkpointing and train,
+        activation_sharding=activation_sharding,
         remat_policy=remat_policy,
+        remat=cfg.use_gradient_checkpointing and train,
     )
-    if activation_sharding is not None:
-        x = jax.lax.with_sharding_constraint(x, activation_sharding)
     token_logits = token_head(params, cfg, x)
 
     # ---- fast trunk (dense) ----

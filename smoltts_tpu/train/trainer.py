@@ -44,12 +44,15 @@ def init_train_state(
 
 
 def loss_fn(params, cfg: DualARConfig, batch: Dict[str, jnp.ndarray], rng,
-            remat_policy: str = "none", activation_sharding=None) -> tuple:
-    out = forward_train(
-        params, cfg, batch["tokens"], dropout_rng=rng, train=True,
+            remat_policy: str = "none", activation_sharding=None,
+            fast_chunk_t: int = 0) -> tuple:
+    from smoltts_tpu.train.loss import forward_train_loss
+
+    losses = forward_train_loss(
+        params, cfg, batch["tokens"], batch["labels"], dropout_rng=rng,
+        train=True, chunk_t=fast_chunk_t,
         remat_policy=remat_policy, activation_sharding=activation_sharding,
     )
-    losses = compute_losses(out.token_logits, out.codebook_logits, batch["labels"])
     return losses.total, losses
 
 
@@ -75,7 +78,7 @@ def make_train_step(
         if accumulate_steps == 1:
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, cfg, batch, rng, config.remat_policy,
-                activation_sharding,
+                activation_sharding, config.fast_chunk_t,
             )
         else:
 
@@ -84,7 +87,7 @@ def make_train_step(
                 rng, sub = jax.random.split(rng)
                 (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params, cfg, mb, sub, config.remat_policy,
-                    activation_sharding,
+                    activation_sharding, config.fast_chunk_t,
                 )
                 acc = jax.tree.map(jnp.add, acc, grads)
                 return (acc, rng), losses
