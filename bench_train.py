@@ -19,13 +19,19 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
+)
 import jax.numpy as jnp
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
 SEQ = int(os.environ.get("BENCH_TRAIN_SEQ", "768"))
 STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", "10"))
+# >0: fused time-chunked fast trunk + codebook CE (train/loss.py::
+# forward_train_loss) — the [B, T, 8, 2048] codebook logits are never
+# materialized, unlocking batch >= 32 at 150M / 16 GB.
+CHUNK_T = int(os.environ.get("BENCH_TRAIN_CHUNK_T", "0"))
 
 
 def model_flops_per_step(cfg, batch: int, seq: int) -> float:
@@ -94,6 +100,7 @@ def main():
         weight_decay=0.01,
         gradient_clip=1.0,
         remat_policy="dots" if remat_mode == "dots" else "none",
+        fast_chunk_t=CHUNK_T,
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     state, tx = init_train_state(params, tc)
@@ -151,6 +158,7 @@ def main():
                     "mfu_6nd_vs_v5e_bf16_peak": round(mfu_6nd, 4),
                     "matmul_params": n_matmul,
                     "remat": remat_mode,
+                    "fast_chunk_t": CHUNK_T,
                     "dropout": cfg.dropout,
                     "device": str(jax.devices()[0]),
                 },

@@ -29,7 +29,10 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
 import jax.numpy as jnp
 import numpy as np
 

@@ -319,6 +319,18 @@ def run_quant_gates_cached(
 
     trees = (params_dense, params_q, mimi_dense, mimi_q)
     if device is not None:
+        if device.platform == "cpu":
+            # XLA:CPU has no bf16 dot kernels (DotThunk: "BF16 x BF16 =
+            # F32" unsupported); run the gate math in f32 there. int8
+            # quantized payloads are untouched, so the quantization under
+            # test is exactly the benchmarked one — only the dense
+            # reference gains precision, which the loose thresholds absorb.
+            trees = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                else x,
+                trees,
+            )
         trees = jax.device_put(trees, device)
         ctx = jax.default_device(device)
     else:
