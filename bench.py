@@ -446,6 +446,13 @@ def main():
     stream_ready.wait()
     if wave_errors:
         RESULT["extra"]["errors"] = wave_errors
+    # Unmeasured shakedown: the FIRST execution after program load on this
+    # runtime regularly eats a multi-minute stall (deferred executable/param
+    # staging through the relay — PERF.md "runtime stalls"; measured 245 s
+    # for 8 frames that steady-state take ~0.4 s). Absorb it before any
+    # number is recorded.
+    run_streaming(2)
+    note("shakedown done")
     # quick probe -> first parseable headline within seconds of the wave
     _, quick_s = run_streaming(8)
     set_headline((B * 8 / FRAME_RATE) / quick_s)
@@ -471,6 +478,7 @@ def main():
     launch_stage2()
     chunk_ready.wait()
     if left() > 30:
+        run_chunked(CHUNK)  # shakedown: absorb the first-execution stall
         chunk_reps = []
         for _ in range(REPEATS):
             chunk_s = run_chunked(N_FRAMES)

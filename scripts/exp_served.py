@@ -29,6 +29,9 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 
+_plat = __import__("os").environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    jax.config.update("jax_platforms", _plat + ",cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
     str(Path(__file__).resolve().parent.parent / ".jax_cache"),
@@ -59,18 +62,30 @@ def build(streams: int, chunk: int, fetchers: int, max_ahead: int):
     token_cfg = TokenConfig.smoltts_v0()
     settings = GenerationSettings(default_temp=0.7, default_fast_temp=0.7, min_p=0.05)
     mimi_cfg = MimiConfig()
-    params = quantize_decode_params(fuse_decode_params(
-        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)))
-    mimi_params = quantize_mimi_params(fuse_mimi_decode_params(
-        init_mimi_params(mimi_cfg, dtype=jnp.bfloat16)))
+    # Host-side init + quantize, one transfer (bench.py's scheme): ~25 s
+    # instead of ~140 s of device-side init compiles.
+    cpu = jax.devices("cpu")[0] if any(
+        d.platform == "cpu" for d in jax.devices("cpu")
+    ) else None
+    import contextlib
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        params = quantize_decode_params(fuse_decode_params(
+            init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)))
+        mimi_params = quantize_mimi_params(fuse_mimi_decode_params(
+            init_mimi_params(mimi_cfg, dtype=jnp.bfloat16)))
+        jax.block_until_ready((params, mimi_params))
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    mimi_params = jax.device_put(mimi_params, dev)
     engine = DecodeEngine(
         params, cfg, token_cfg, settings,
         num_slots=streams, max_seq_len=1024, kv_dtype=jnp.int8,
         prompt_bucket=64, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
         inflight=1, fetch_every=1, emit_int16=True, chunk_frames=chunk,
+        admit_sizes=[1, 4], attend_buckets=[256],
     )
     t0 = time.perf_counter()
-    engine.warm()
+    engine.warm(parallel=6, buckets=[256])
     print(f"[warm] {time.perf_counter()-t0:.1f}s", flush=True)
     return engine
 

@@ -13,6 +13,7 @@ vocab-identical to smoltts_tpu.tokenizer.ByteTokenizer.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import tempfile
 from pathlib import Path
@@ -38,11 +39,17 @@ def build_native_lib(src: Path, name: str, extra_flags=()) -> Optional[ctypes.CD
     so_path = Path(tempfile.gettempdir()) / f"smoltts_native_{name}.so"
     try:
         if not so_path.exists() or so_path.stat().st_mtime < src.stat().st_mtime:
+            # Compile to a private temp path, then atomically publish:
+            # concurrent processes (pytest-xdist workers) may race this
+            # build, and `cc -o` writing the file another process is
+            # dlopen()ing would hand out a torn .so.
+            tmp = so_path.with_suffix(f".{os.getpid()}.tmp")
             subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", *extra_flags, str(src), "-o", str(so_path)],
+                ["cc", "-O2", "-shared", "-fPIC", *extra_flags, str(src), "-o", str(tmp)],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, so_path)
         lib = ctypes.CDLL(str(so_path))
     except Exception:
         _GENERIC_CACHE[key] = None
@@ -60,11 +67,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     so_path = Path(tempfile.gettempdir()) / "smoltts_native_tokenizer.so"
     try:
         if not so_path.exists() or so_path.stat().st_mtime < _SRC.stat().st_mtime:
+            tmp = so_path.with_suffix(f".{os.getpid()}.tmp")  # atomic publish
             subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(so_path)],
+                ["cc", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, so_path)
         lib = ctypes.CDLL(str(so_path))
     except Exception:
         _BUILD_FAILED = True

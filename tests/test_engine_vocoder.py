@@ -94,6 +94,7 @@ def test_engine_pcm_matches_single_stream():
             np.testing.assert_allclose(g, r, rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_engine_emit_int16():
     """emit_int16=True converts PCM on device; values match the float path
     to 1 LSB of int16 (the serving/bench configuration)."""

@@ -35,7 +35,12 @@ def test_supports_gating():
     assert not supports_fused_fast(cfg2, params2)
 
 
-@pytest.mark.parametrize("B", [1, 4, 8])
+@pytest.mark.parametrize(
+    "B",
+    # one batched size in the fast tier; the redundant mid sizes ride the
+    # slow tier (each param costs ~18 s of CPU-tier compile)
+    [1, pytest.param(4, marks=pytest.mark.slow), 8],
+)
 def test_greedy_matches_xla_loop(B):
     cfg, params = setup()
     settings = GenerationSettings(default_temp=0.0, default_fast_temp=0.0)
@@ -49,6 +54,7 @@ def test_greedy_matches_xla_loop(B):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.slow
 def test_w13_fused_tree_matches_unfused():
     """The bench/engine path fuses w1/w3 -> w13 before quantizing; the kernel
     splits the fused weight back into exact w1/w3 views."""
