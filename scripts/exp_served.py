@@ -218,6 +218,19 @@ def main():
     prompt[0] = np.random.default_rng(0).integers(0, 320, 48)
     total = args.total_mult * args.streams
 
+    # SHAKEDOWN: the first execution of each freshly loaded program stalls
+    # for up to minutes on this runtime (PERF.md "first-execution stalls") —
+    # absorb it before any timed phase.
+    t0 = time.perf_counter()
+    for _ in range(4):
+        engine.submit(prompt, max_frames=6)
+    while engine.has_work():
+        engine.step()
+    ft.reset()
+    for k in engine.stats:
+        engine.stats[k] = 0
+    print(f"[shakedown] {time.perf_counter()-t0:.1f}s", flush=True)
+
     if "raw" in args.phases:
         # Physics: back-to-back chunk dispatches, one fence at the end.
         for _ in range(args.streams):
@@ -244,12 +257,16 @@ def main():
               flush=True)
         # Parallel-fetch scaling: do K concurrent device_gets overlap on
         # this runtime (EngineLoop fetchers>1 rationale) or serialize?
-        K = min(3, len(recs))
+        # Distinct un-fetched records per arm (a re-fetch of an already
+        # device_get'd jax.Array returns its cached host value — measuring
+        # that "parallel" is measuring nothing).
+        K = min(3, len(recs) // 2)
         t0 = time.perf_counter()
         for r in recs[:K]:
             engine.fetch([r])
         serial = time.perf_counter() - t0
-        ths = [threading.Thread(target=engine.fetch, args=([r],)) for r in recs[:K]]
+        fresh = recs[K:2 * K]
+        ths = [threading.Thread(target=engine.fetch, args=([r],)) for r in fresh]
         t0 = time.perf_counter()
         for t in ths:
             t.start()

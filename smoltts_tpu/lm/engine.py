@@ -74,6 +74,11 @@ class Record(NamedTuple):
     seq: Optional[int] = None
 
 
+@jax.jit
+def _mark_finished(finished: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    return finished.at[slot].set(True)
+
+
 class DecodeEngine:
     """Slot-based continuous batching over the jitted prefill/decode kernels."""
 
@@ -611,9 +616,13 @@ class DecodeEngine:
             return
         self._slot_to_stream.pop(h.slot, None)
         self._free.append(h.slot)
-        # Mark the slot finished on device so it stops consuming sampler work.
+        # Mark the slot finished on device so it stops consuming sampler
+        # work. The slot index is passed as an ARRAY argument: an eager
+        # `at[int].set` bakes the index into the program as a constant and
+        # compiles once PER SLOT VALUE — ~64 surprise remote compiles
+        # (seconds each, engine lock held) sprinkled through a serving run.
         self.state = self.state._replace(
-            finished=self.state.finished.at[h.slot].set(True)
+            finished=_mark_finished(self.state.finished, jnp.asarray(h.slot))
         )
         h.slot = -1
 
@@ -659,22 +668,38 @@ class DecodeEngine:
                         emitted.append((sid, frame))
         return emitted
 
-    def take_due(self) -> list:
+    def take_due(self, kind: str = "all") -> list:
         """Pop the records whose fetch is due (stay `inflight` behind while
         work continues; batch by `fetch_every`; drain fully when idle).
 
         URGENT records (admission first frames) are released immediately,
         out of queue order: holding them behind `inflight` dispatches would
         add inflight * chunk_frames frame-times to first-audio latency.
-        Safe — see Record.urgent."""
-        urgent = [r for r in self._queue if r.urgent]
-        if urgent:
-            self._queue = collections.deque(r for r in self._queue if not r.urgent)
+        Safe — see Record.urgent.
+
+        kind: "all" (default), "urgent" (admission records only — for a
+        dedicated low-latency fetcher that never queues a first-audio fetch
+        behind a multi-MB bulk PCM transfer), or "bulk" (everything else).
+        """
+        urgent = []
+        if kind in ("all", "urgent"):
+            urgent = [r for r in self._queue if r.urgent]
+            if urgent:
+                self._queue = collections.deque(
+                    r for r in self._queue if not r.urgent
+                )
+            if kind == "urgent":
+                return urgent
+        bulk = [r for r in self._queue if not r.urgent]
         target = self.inflight if (self._pending or self._slot_to_stream) else 0
-        due = len(self._queue) - target
+        due = len(bulk) - target
         if due <= 0 or (target > 0 and due < self.fetch_every):
             return urgent
-        return urgent + [self._queue.popleft() for _ in range(due)]
+        taken = set(id(r) for r in bulk[:due])
+        self._queue = collections.deque(
+            r for r in self._queue if id(r) not in taken
+        )
+        return urgent + bulk[:due]
 
     def _materialize(self, records: list) -> List[Tuple[int, dict]]:
         return self.account(records, self.fetch(records))
@@ -704,10 +729,16 @@ class DecodeEngine:
             emitted.extend(self._materialize(records))
         return emitted
 
-    def dispatch_step(self) -> None:
+    def dispatch_step(self, admit_only: bool = False) -> None:
         """Admit pending streams and dispatch one frame for all live slots
-        (no result fetch — results queue for take_due/fetch/account)."""
+        (no result fetch — results queue for take_due/fetch/account).
+
+        admit_only=True performs just the admission (prefill + urgent first
+        frame) without advancing live slots — used by EngineLoop to admit
+        past the max_ahead gate without growing the un-fetched bulk queue."""
         self._admit_pending()
+        if admit_only:
+            return
 
         live_slots = list(self._slot_to_stream.items())
         if live_slots:
@@ -830,9 +861,16 @@ class EngineLoop:
             else engine.inflight + max(2, engine.fetch_every)
         )
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        # With >= 2 fetchers, one is DEDICATED to urgent (admission first-
+        # frame) records: a first-audio fetch is tiny (one frame) but would
+        # otherwise queue behind in-progress multi-MB bulk PCM transfers on
+        # the shared host link — measured 0.66 s per bulk fetch on this
+        # host, which alone blows the < 200 ms first-audio budget.
+        n = max(1, int(fetchers))
+        kinds = (["urgent"] + ["bulk"] * (n - 1)) if n >= 2 else ["all"]
         self._fetchers = [
-            threading.Thread(target=self._fetch_loop, daemon=True)
-            for _ in range(max(1, int(fetchers)))
+            threading.Thread(target=self._fetch_loop, args=(kind,), daemon=True)
+            for kind in kinds
         ]
         self._dispatcher.start()
         for t in self._fetchers:
@@ -850,12 +888,22 @@ class EngineLoop:
 
         while not self._stop.is_set():
             with self._lock:
+                gate_open = len(self.engine._queue) < self._max_ahead
+                admit_past_gate = bool(
+                    not gate_open and self.engine._pending and self.engine._free
+                )
                 work = (
                     bool(self.engine._pending or self.engine._slot_to_stream)
-                    and len(self.engine._queue) < self._max_ahead
-                )
+                    and gate_open
+                ) or admit_past_gate
                 if work:
-                    self.engine.dispatch_step()
+                    # Admissions BYPASS the max_ahead gate (admit_only: no
+                    # bulk frame dispatch): a queued prompt's prefill
+                    # shouldn't wait for lagging bulk fetches to drain the
+                    # record queue — the gate exists to bound un-fetched
+                    # bulk buffers, and an admission adds one small urgent
+                    # record that the dedicated urgent fetcher clears.
+                    self.engine.dispatch_step(admit_only=admit_past_gate)
             if not work:
                 time.sleep(self.poll_interval)
 
@@ -884,12 +932,12 @@ class EngineLoop:
                     self._acct_cv.notify_all()
             self._emit(frames)
 
-    def _fetch_loop(self):
+    def _fetch_loop(self, kind: str = "all"):
         import time
 
         while not self._stop.is_set():
             with self._lock:
-                records = self.engine.take_due()
+                records = self.engine.take_due(kind)
             if not records:
                 time.sleep(self.poll_interval)
                 continue
