@@ -99,6 +99,7 @@ class DecodeEngine:
         inflight: int = 2,
         fetch_every: int = 1,
         emit_int16: bool = False,
+        emit_format: str = None,
         chunk_frames: int = 1,
         tail_len: int = 128,
         admit_sizes: Optional[List[int]] = None,
@@ -110,12 +111,16 @@ class DecodeEngine:
         # force single-frame dispatches, so a queued prompt waits at most
         # the in-flight chunks (~inflight*K frames) before prefilling.
         self.chunk_frames = max(1, int(chunk_frames))
-        # emit_int16: convert vocoded PCM to int16 ON DEVICE — the stream
-        # route serves PCM16 anyway, and the result fetch moves 4x fewer
-        # bytes over the host link (which gates served throughput on
-        # tunneled runtimes). Off by default so frame["pcm"] stays float for
-        # library consumers.
-        self.emit_int16 = bool(emit_int16)
+        # emit_format: on-device PCM representation of fetched frames —
+        # "f32" (default; library consumers get float), "int16" (the stream
+        # route serves PCM16 anyway and the result fetch moves 4x fewer
+        # bytes over the host link, which gates served throughput on
+        # tunneled runtimes), or "ulaw" (G.711 mu-law, 8x fewer bytes than
+        # f32 — telephony-grade; for links where even PCM16 saturates; see
+        # io/g711.py). emit_int16=True is the legacy spelling of "int16".
+        self.emit_format = emit_format or ("int16" if emit_int16 else "f32")
+        assert self.emit_format in ("f32", "int16", "ulaw"), self.emit_format
+        self.emit_int16 = self.emit_format == "int16"
         from smoltts_tpu.ops.quant import fuse_decode_params
 
         # Decode-path weight fusion (bit-exact; ops/quant.py).
@@ -247,12 +252,7 @@ class DecodeEngine:
                 mstate, pcm = mimi_decode_step(
                     mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
                 )
-                if self.emit_int16:
-                    # PCM16 on device: the stream route sends int16 anyway,
-                    # and the fetch moves 4x fewer bytes over the host link.
-                    pcm = (jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0).astype(
-                        jnp.int16
-                    )
+                pcm = self._emit_pcm(pcm)
                 _, _, rest = _split_lm(state)
                 _, _, mrest = _split_mimi(mstate)
                 return rest, mrest, out, pcm, rng
@@ -288,10 +288,7 @@ class DecodeEngine:
                     mstate, pcm = mimi_decode_step(
                         mimi_params, mimi_cfg, mstate, out.audio_codes[:, :, None]
                     )
-                    if self.emit_int16:
-                        pcm = (
-                            jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0
-                        ).astype(jnp.int16)
+                    pcm = self._emit_pcm(pcm)
                     _, _, rest = _split_lm(state)
                     _, _, mrest = _split_mimi(mstate)
                     return (rest, mrest, rng), (
@@ -367,6 +364,19 @@ class DecodeEngine:
     @property
     def active(self) -> int:
         return len(self._streams)
+
+    def _emit_pcm(self, pcm):
+        """On-device PCM representation per emit_format (traced inside the
+        decode/vocode programs)."""
+        if self.emit_format == "int16":
+            return (jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0).astype(
+                jnp.int16
+            )
+        if self.emit_format == "ulaw":
+            from smoltts_tpu.io.g711 import ulaw_encode_jnp
+
+            return ulaw_encode_jnp(pcm)
+        return pcm
 
     def warm(
         self,
@@ -525,10 +535,7 @@ class DecodeEngine:
                 sub, pcm = mimi_decode_step(
                     mimi_params, self.mimi_cfg, sub, codes[:, :, None]
                 )
-                if self.emit_int16:
-                    pcm = (
-                        jnp.clip(pcm.astype(jnp.float32), -1.0, 1.0) * 32767.0
-                    ).astype(jnp.int16)
+                pcm = self._emit_pcm(pcm)
                 return scatter_stream_state(mstate, sub, slots), pcm
 
             self._admit_vocode_cache[n_new] = jax.jit(fn)

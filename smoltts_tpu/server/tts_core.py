@@ -56,7 +56,14 @@ def _as_mp3(pcm: np.ndarray, rate: int, spec: Tuple[str, ...]) -> Tuple[bytes, s
     return encode_mpeg_audio(pcm, rate, bitrate_kbps=kbps), "audio/mpeg"
 
 
-_TRANSCODERS = {"pcm": _as_pcm, "wav": _as_wav, "mp3": _as_mp3}
+def _as_ulaw(pcm: np.ndarray, rate: int, _spec: Tuple[str, ...]) -> Tuple[bytes, str]:
+    """G.711 mu-law (the ElevenLabs `ulaw_8000` output format family)."""
+    from smoltts_tpu.io.g711 import ulaw_encode_np
+
+    return ulaw_encode_np(pcm_to_int16(pcm)).tobytes(), "audio/basic"
+
+
+_TRANSCODERS = {"pcm": _as_pcm, "wav": _as_wav, "mp3": _as_mp3, "ulaw": _as_ulaw}
 
 
 def transcode(pcm: np.ndarray, output_format: str) -> Tuple[bytes, str]:
