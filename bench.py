@@ -493,9 +493,12 @@ def main():
 
     engine_ready.wait()
     if left() > 60:
+        # max_ahead=2: the exp_loop_sweep operating point (PERF.md) —
+        # shallow dispatch queue bounds admission latency on this
+        # fetch-bound host; fetchers=3 = dedicated urgent + 2 bulk.
         loop = EngineLoop(
             engine,
-            max_ahead=int(os.environ.get("BENCH_MAX_AHEAD", "3")),
+            max_ahead=int(os.environ.get("BENCH_MAX_AHEAD", "2")),
             fetchers=int(os.environ.get("BENCH_FETCHERS", "3")),
         )
         # Short shakedown (threads, urgent-fetch path, transfer-path setup).

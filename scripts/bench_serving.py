@@ -84,11 +84,19 @@ def boot_server(num_slots: int, frames_per_req: int, fetch_every: int, port: int
         model.params, model.config, model.token_config, model.generation_settings,
         num_slots=num_slots, kv_dtype=jnp.int8,
         mimi_params=model.codec_params, mimi_cfg=model.codec_config,
-        inflight=2, fetch_every=fetch_every, emit_int16=True,
-        chunk_frames=4,
+        inflight=1, fetch_every=fetch_every, emit_int16=True,
+        chunk_frames=8, admit_sizes=[1, 4], attend_buckets=[256],
     )
+    engine.warm(parallel=6, buckets=[256])
     metrics = ServingMetrics()
-    app = build_app(TTSCore(model), engine_loop=EngineLoop(engine), metrics=metrics)
+    # max_ahead=2: the exp_loop_sweep operating point — shallow dispatch
+    # queue bounds admission latency; fetchers=3 gives a dedicated urgent
+    # fetcher + two overlapped bulk fetchers (PERF.md served-path physics).
+    app = build_app(
+        TTSCore(model),
+        engine_loop=EngineLoop(engine, max_ahead=2, fetchers=3),
+        metrics=metrics,
+    )
     th = threading.Thread(target=app.run, args=("127.0.0.1", port), daemon=True)
     th.start()
     for _ in range(200):

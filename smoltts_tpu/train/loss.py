@@ -177,14 +177,27 @@ def forward_train_loss(
             dropout_rate=dropout if use_dropout else 0.0,
             dropout_rng=sub if use_dropout else None,
             norm_eps=cfg.norm_eps,
-            remat=remat, remat_policy=remat_policy,
+            # Inner per-layer remat is OFF: the chunk body below is itself
+            # checkpointed, so backward already recomputes the body one
+            # chunk at a time (chunk-local activations only). Stacking the
+            # per-layer remat on top would recompute the fast-trunk forward
+            # a THIRD time — measured +15%/token at 150M b32 ct128.
+            remat=False, remat_policy=remat_policy,
         )
         fast_out = rms_norm(fast_x, params["fast_norm"], cfg.norm_eps)
         logits = fast_output_logits(params, cfg, fast_out)  # [B*C, n, CB]
         s, c = _masked_nll_sums(logits, lbc.reshape(B * chunk_t, n))
         return (nll_acc + s, cnt_acc + c, rng), None
 
-    body = jax.checkpoint(chunk_body) if remat else chunk_body
+    if remat:
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat_policy == "dots"
+            else None
+        )
+        body = jax.checkpoint(chunk_body, policy=policy)
+    else:
+        body = chunk_body
     (nll, cnt, _), _ = jax.lax.scan(
         body,
         (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32), frng),
