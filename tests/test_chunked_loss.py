@@ -14,7 +14,7 @@ from smoltts_tpu.tokenizer import TokenConfig
 from smoltts_tpu.train.data import collate, synthetic_dataset
 from smoltts_tpu.train.loss import compute_losses, forward_train_loss
 
-B, T = 4, 32
+B, T = 2, 16
 
 
 def _setup(**cfg_overrides):
@@ -37,7 +37,7 @@ def _dense_losses(params, cfg, batch):
     )
 
 
-@pytest.mark.parametrize("chunk_t", [8, 16, 32])
+@pytest.mark.parametrize("chunk_t", [4, 8, 16])
 def test_losses_match_dense(chunk_t):
     cfg, params, batch = _setup()
     ref = _dense_losses(params, cfg, batch)
@@ -60,7 +60,7 @@ def test_gradients_match_dense():
 
     def chunked(p):
         return forward_train_loss(
-            p, cfg, batch["tokens"], batch["labels"], train=False, chunk_t=8
+            p, cfg, batch["tokens"], batch["labels"], train=False, chunk_t=4
         ).total
 
     g_ref = jax.grad(dense)(params)
@@ -79,7 +79,7 @@ def test_remat_train_path_runs_and_matches():
 
     def chunked(p):
         return forward_train_loss(
-            p, cfg, batch["tokens"], batch["labels"], train=True, chunk_t=8,
+            p, cfg, batch["tokens"], batch["labels"], train=True, chunk_t=4,
             dropout_rng=jax.random.PRNGKey(1),
         ).total
 
@@ -107,8 +107,8 @@ def test_trainer_integration_fast_chunk_t():
     state0, tx = init_train_state(params, TrainingConfig(fast_chunk_t=0))
     step0 = make_train_step(cfg, TrainingConfig(fast_chunk_t=0), tx, donate=False)
     _, m0 = step0(state0, batch, jax.random.PRNGKey(2))
-    state1, tx1 = init_train_state(params, TrainingConfig(fast_chunk_t=8))
-    step1 = make_train_step(cfg, TrainingConfig(fast_chunk_t=8), tx1, donate=False)
+    state1, tx1 = init_train_state(params, TrainingConfig(fast_chunk_t=4))
+    step1 = make_train_step(cfg, TrainingConfig(fast_chunk_t=4), tx1, donate=False)
     _, m1 = step1(state1, batch, jax.random.PRNGKey(2))
     np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-6)
     np.testing.assert_allclose(

@@ -74,6 +74,7 @@ def test_greedy_kv8_agrees_with_bf16():
     assert agreement >= 0.9, f"kv8 greedy agreement {agreement:.3f} < 0.9"
 
 
+@pytest.mark.slow
 def test_kv8_flush_is_stable():
     """Different flush cadences move the bf16->int8 boundary; decisions must
     stay (near-)identical — the quantizer is deterministic per entry."""

@@ -3,6 +3,7 @@ step must reproduce the unfused decode_frame + mimi_decode_step composition
 exactly (greedy)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,7 @@ def test_fused_equals_unfused():
         np.testing.assert_allclose(got[:, i], ref_pcm[1 + i], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_smoltts_stream_uses_fused_path(tmp_path):
     from smoltts_tpu import SmolTTS
     from smoltts_tpu.io.checkpoint_interop import save_params

@@ -102,6 +102,7 @@ def test_kv8_gate_runs_on_real_prefill_tensors():
     assert m["kv8_roundtrip_snr_db"] > 30.0
 
 
+@pytest.mark.slow
 def test_cached_gates_hit_and_invalidate(tmp_path):
     from smoltts_tpu.ops.quant_gate import run_quant_gates_cached
 

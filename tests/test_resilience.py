@@ -27,6 +27,7 @@ def make_cfg():
     )
 
 
+@pytest.mark.slow
 def test_sequence_parallel_train_step_matches():
     """TrainingConfig.sequence_parallel shards [B, T, dim] activations over
     the model axis; the sharded train step must reproduce the plain one."""
