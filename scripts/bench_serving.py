@@ -82,12 +82,14 @@ def boot_server(num_slots: int, frames_per_req: int, fetch_every: int, port: int
 
     engine = DecodeEngine(
         model.params, model.config, model.token_config, model.generation_settings,
-        num_slots=num_slots, kv_dtype=jnp.int8,
+        num_slots=num_slots, max_seq_len=1024, kv_dtype=jnp.int8,
         mimi_params=model.codec_params, mimi_cfg=model.codec_config,
         inflight=1, fetch_every=fetch_every, emit_int16=True,
         chunk_frames=8, admit_sizes=[1, 4], attend_buckets=[256],
     )
-    engine.warm(parallel=6, buckets=[256])
+    # Text prompts pad to 128 (system + user + assistant turns); warm the
+    # T=128 admission programs so no cold compile lands inside a request.
+    engine.warm(prompt_len=128, parallel=6, buckets=[256])
     metrics = ServingMetrics()
     # max_ahead=2: the exp_loop_sweep operating point — shallow dispatch
     # queue bounds admission latency; fetchers=3 gives a dedicated urgent
@@ -134,7 +136,10 @@ def run_load(port: int, concurrency: int, stagger_s: float, text: str):
 
     def client(i):
         time.sleep(i * stagger_s)
-        results[i] = one_request(port, text)
+        try:
+            results[i] = one_request(port, text)
+        except Exception as e:  # timeouts/5xx recorded, not thread-fatal
+            print(f"  client {i} failed: {e!r}", flush=True)
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(concurrency)]
     t0 = time.perf_counter()
@@ -145,6 +150,8 @@ def run_load(port: int, concurrency: int, stagger_s: float, text: str):
     wall = time.perf_counter() - t0
     lats = sorted(r[0] for r in results if r and r[0] is not None)
     audio_s = sum(r[1] for r in results if r) / 2 / 24_000  # int16 @ 24 kHz
+    if not lats:
+        return {"concurrency": concurrency, "failed": True, "wall_s": round(wall, 2)}
     return {
         "concurrency": concurrency,
         "first_chunk_ms_p50": round(lats[len(lats) // 2], 1),
