@@ -167,7 +167,7 @@ def main():
     ap.add_argument("--concurrency", type=int, nargs="+", default=[8, 32, 64])
     ap.add_argument("--slots", type=int, default=64)
     ap.add_argument("--frames", type=int, default=64)  # 5.1 s audio per request
-    ap.add_argument("--fetch-every", type=int, default=8)
+    ap.add_argument("--fetch-every", type=int, default=1)
     ap.add_argument("--stagger-s", type=float, default=0.03)
     ap.add_argument("-o", "--out", type=str, default="BENCH_SERVING.json")
     args = ap.parse_args()

@@ -867,6 +867,15 @@ class EngineLoop:
             if max_ahead is not None
             else engine.inflight + max(2, engine.fetch_every)
         )
+        # ENFORCE the drain invariant: with max_ahead < inflight +
+        # fetch_every the dispatch gate caps the queue below the bulk
+        # fetchers' batch threshold and NOTHING ever drains — a hard wedge
+        # (hit live: max_ahead=2 against fetch_every=8; every stream froze
+        # after its first frame). An explicit shallow max_ahead expresses a
+        # latency preference, so shrink the engine's fetch batching to fit
+        # rather than deepening the queue.
+        if self._max_ahead < engine.inflight + engine.fetch_every:
+            engine.fetch_every = max(1, self._max_ahead - engine.inflight)
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         # With >= 2 fetchers, one is DEDICATED to urgent (admission first-
         # frame) records: a first-audio fetch is tiny (one frame) but would

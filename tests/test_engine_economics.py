@@ -156,3 +156,34 @@ def test_proactive_slot_release_admits_before_fetch():
     # took effect; they are dropped, never duplicated or misrouted.
     for s in short + [waiting]:
         assert collected[s][-1]["finished"]
+
+
+def test_shallow_max_ahead_never_wedges():
+    """EngineLoop(max_ahead) below inflight+fetch_every must still drain:
+    the loop shrinks the engine's fetch batching to fit (a live wedge: every
+    stream froze after its first frame with max_ahead=2 vs fetch_every=8)."""
+    import queue as _q
+
+    from smoltts_tpu.lm.engine import EngineLoop
+
+    cfg, token_cfg, params, mimi_cfg, mimi_params = setup()
+    eng = make_engine(
+        cfg, token_cfg, params, mimi_cfg, mimi_params,
+        inflight=1, fetch_every=8, chunk_frames=2, prompt_bucket=8,
+    )
+    loop = EngineLoop(eng, max_ahead=2, fetchers=3)
+    assert eng.fetch_every == 1  # clamped to the drain invariant
+    prompt = audio_prompt(cfg, token_cfg, 6, seed=0)
+    qs = [loop.submit(prompt, max_frames=4) for _ in range(4)]
+    got = 0
+    for q in qs:
+        while True:
+            try:
+                fr = q.get(timeout=60)
+            except _q.Empty:
+                raise AssertionError("stream wedged: no frame within 60s")
+            if fr is None:
+                break
+            got += 1
+    loop.stop()
+    assert got == 16
