@@ -33,6 +33,20 @@ def build_app(core: TTSCore, engine_loop=None, metrics=None) -> HttpServer:
 
     metrics = metrics or ServingMetrics()
     app = HttpServer()
+    # Each live engine stream parks ONE blocking q.get in an executor while
+    # awaiting its next frame. asyncio's default pool is min(32, cpus+4)
+    # threads — ~6 on a small host — so beyond ~6 concurrent streams the
+    # rest starve (measured: 43 s first-chunk at 64 concurrent requests
+    # while the engine had the frames ready). Size the pool to the slot
+    # count the engine can actually serve.
+    stream_executor = None
+    if engine_loop is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        stream_executor = ThreadPoolExecutor(
+            max_workers=engine_loop.engine.num_slots + 8,
+            thread_name_prefix="stream-q",
+        )
 
     @app.get("/")
     async def index(req: Request):
@@ -104,7 +118,7 @@ def build_app(core: TTSCore, engine_loop=None, metrics=None) -> HttpServer:
                 loop = asyncio.get_running_loop()
                 first = True
                 while True:
-                    frame = await loop.run_in_executor(None, q.get)
+                    frame = await loop.run_in_executor(stream_executor, q.get)
                     if frame is None:
                         break
                     if first:
