@@ -35,6 +35,7 @@ def test_forward_shapes(duplicate_code_0, depthwise, tie):
     assert np.isfinite(np.asarray(out.codebook_logits)).all()
 
 
+@pytest.mark.slow
 def test_grad_checkpointing_matches():
     cfg = tiny_debug_config(codebook_size=32, vocab_size=352)
     params = init_params(cfg, jax.random.PRNGKey(0))

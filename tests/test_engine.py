@@ -118,6 +118,7 @@ def test_engine_loop_thread():
         loop.stop()
 
 
+@pytest.mark.slow
 def test_attend_bucket_switching_is_exact():
     """The engine with tiny attend buckets must (a) walk through the buckets
     as live positions grow / shrink back on release, and (b) produce exactly

@@ -6,6 +6,7 @@ output columns — every output element's reduction is unchanged
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from smoltts_tpu.lm.decode import decode_frame, init_decode_state, prefill
 from smoltts_tpu.lm.samplers import GenerationSettings
@@ -63,6 +64,7 @@ def test_w13_fusion_int8_bit_exact():
     )
 
 
+@pytest.mark.slow
 def test_mimi_wqkv_fusion_bit_exact():
     from smoltts_tpu.codec.mimi import (
         decode_stream_init,
