@@ -201,7 +201,11 @@ def build_engine_loop(
         emit_int16=True,  # the stream route serves PCM16; 4x cheaper fetches
         chunk_frames=chunk_frames,
     )
-    return EngineLoop(engine)
+    engine.warm()  # no compile lands inside a live request
+    # max_ahead=2 / fetchers=3: the measured serving operating point —
+    # shallow dispatch queue bounds admission latency; one DEDICATED urgent
+    # fetcher + two overlapped bulk fetchers (PERF.md served-path physics).
+    return EngineLoop(engine, max_ahead=2, fetchers=3)
 
 
 def main(argv: Optional[list] = None):

@@ -59,19 +59,25 @@ def test_fuzz_parity(toks):
 
 
 def test_throughput_sanity(toks):
-    """The native path should not be slower than Python (usually ~10x faster)."""
+    """The native path should not be slower than Python (usually ~10x
+    faster). Best-of-repeats on both sides: under pytest-xdist another
+    worker shares the 2 CPUs, and a single timed window loses to scheduler
+    preemption noise (observed flake: native 2x "slower" in one window)."""
     import time
 
     native, py, _ = toks
     text = ("<|im_start|>user\n" + "hello world " * 200 + "<|im_end|>\n") * 5
     for enc in (native.encode, py.encode):
         enc(text)  # warm
-    t0 = time.perf_counter()
-    for _ in range(50):
-        native.encode(text)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(50):
-        py.encode(text)
-    t_py = time.perf_counter() - t0
+
+    def best(enc):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                enc(text)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native, t_py = best(native.encode), best(py.encode)
     assert t_native < t_py * 1.5, (t_native, t_py)
