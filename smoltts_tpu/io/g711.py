@@ -32,19 +32,22 @@ def ulaw_encode_np(pcm16: np.ndarray) -> np.ndarray:
     # exponent: position of the highest set bit above bit 7 (a >= 0x84 > 0)
     exp = (np.floor(np.log2(a)).astype(np.int32) - 7).clip(0, 7)
     mant = (a >> (exp + 3)) & 0x0F
-    byte = (np.where(neg, 0x00, 0x80) | (exp << 4) | mant).astype(np.uint8)
+    # Pre-complement sign nibble is 0x80 for NEGATIVE samples, so after the
+    # ones complement the wire sign bit is 1 for positives (+0 -> 0xFF, the
+    # standard mu-law silence byte) — matches Sun g711.c / ffmpeg.
+    byte = (np.where(neg, 0x80, 0x00) | (exp << 4) | mant).astype(np.uint8)
     return np.invert(byte)  # wire byte is the ones complement (G.711)
 
 
 def ulaw_decode_np(b: np.ndarray) -> np.ndarray:
     """uint8 mu-law -> int16 PCM (G.711 inverse)."""
     u = np.invert(b.astype(np.uint8)).astype(np.int32)
-    sign = u & 0x80
+    sign = u & 0x80  # pre-complement sign: set = negative (G.711)
     exp = (u >> 4) & 0x07
     mant = u & 0x0F
     mag = ((mant << 3) + _BIAS) << exp
     mag = mag - _BIAS
-    return np.where(sign != 0, mag, -mag).astype(np.int16)
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
 
 
 def ulaw_encode_jnp(pcm_float):
@@ -61,7 +64,7 @@ def ulaw_encode_jnp(pcm_float):
     a = jnp.clip(jnp.where(neg, -x, x), 0, _CLIP) + _BIAS
     exp = jnp.clip(jnp.floor(jnp.log2(a.astype(jnp.float32))).astype(jnp.int32) - 7, 0, 7)
     mant = (a >> (exp + 3)) & 0x0F
-    byte = jnp.where(neg, 0x00, 0x80) | (exp << 4) | mant
+    byte = jnp.where(neg, 0x80, 0x00) | (exp << 4) | mant
     return (~byte & 0xFF).astype(jnp.uint8)
 
 

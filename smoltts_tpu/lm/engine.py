@@ -872,10 +872,16 @@ class EngineLoop:
         # fetchers' batch threshold and NOTHING ever drains — a hard wedge
         # (hit live: max_ahead=2 against fetch_every=8; every stream froze
         # after its first frame). An explicit shallow max_ahead expresses a
-        # latency preference, so shrink the engine's fetch batching to fit
-        # rather than deepening the queue.
+        # latency preference, so shrink the engine's fetch batching — and,
+        # when max_ahead <= inflight leaves no room even at fetch_every=1
+        # (hit in review: max_ahead=2 against the engine default inflight=2),
+        # the engine's inflight depth too — to fit rather than deepening
+        # the queue.
         if self._max_ahead < engine.inflight + engine.fetch_every:
             engine.fetch_every = max(1, self._max_ahead - engine.inflight)
+            if self._max_ahead < engine.inflight + engine.fetch_every:
+                engine.inflight = max(0, self._max_ahead - engine.fetch_every)
+        assert self._max_ahead >= engine.inflight + engine.fetch_every
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
         # With >= 2 fetchers, one is DEDICATED to urgent (admission first-
         # frame) records: a first-audio fetch is tiny (one frame) but would

@@ -16,8 +16,8 @@ random-init trees are the measured distribution):
    synthetic labeled batch (greedy-agreement is noise at random init).
 2. int8 LM sampling distribution: Jensen-Shannon divergence between the
    ACTUAL sampling distributions (temperature + min-p filter applied,
-   audio-constrained) of dense vs quantized logits < 0.05, with a loose
-   support-flip-mass ceiling (< 0.15) as a hard backstop — the temp>0
+   audio-constrained) of dense vs quantized logits < 0.05, with a
+   support-flip-mass ceiling (< 0.10) as a hard backstop — the temp>0
    analogue of greedy agreement, computed analytically over the full
    distribution rather than by Monte-Carlo draws. (JS, not KL: min-p
    keep-set membership is knife-edge at flat distributions and hard-support
@@ -127,18 +127,20 @@ def gate_int8_lm(
         "int8_kl_codebook": kl_cb, "int8_js_sampling": js_sample,
         "int8_sampling_flip_mass": flip_mass,
     }
-    # flip_mass gets only a LOOSE ceiling (0.15): for flat distributions
-    # (random init) the min-p keep set is inherently chaotic — a measured
-    # 150M random-init tree flips ~6% of mass while its JS stays at 0.025,
-    # i.e. the flipped tokens sit exactly at the threshold where keeping or
-    # dropping them is behaviorally equivalent. JS already charges every
-    # flip its true probability mass, so it is the primary gate for both
-    # flat and peaked distributions; the flip-mass ceiling is a hard
-    # backstop for the case where quantization genuinely reshapes the
-    # min-p keep set (large mass moving across the threshold).
+    # flip_mass ceiling 0.10: for flat distributions (random init) the
+    # min-p keep set is inherently chaotic — a measured 150M random-init
+    # tree flips ~6% of mass while its JS stays at 0.025, i.e. the flipped
+    # tokens sit exactly at the threshold where keeping or dropping them is
+    # behaviorally equivalent. JS already charges every flip its true
+    # probability mass, so it is the primary gate for both flat and peaked
+    # distributions; the flip-mass ceiling is a hard backstop for the case
+    # where quantization genuinely reshapes the min-p keep set (large mass
+    # moving across the threshold). Tightened 0.15 -> 0.10 (r4 advice):
+    # random-init — the WORST case for threshold chaos — measures 0.063,
+    # and peaked trained checkpoints flip strictly less mass at min-p.
     if (
         ce_delta >= 0.02 or kl_tok >= 0.02 or kl_cb >= 0.02
-        or js_sample >= 0.05 or flip_mass >= 0.15
+        or js_sample >= 0.05 or flip_mass >= 0.10
     ):
         raise QuantGateError(f"int8 LM gate failed: {metrics}")
     return metrics
@@ -260,14 +262,21 @@ def run_quant_gates(
     return metrics
 
 
-def _gate_cache_key(cfg, mimi_cfg, settings, int8: bool, kv8: bool) -> str:
+def _gate_cache_key(
+    cfg, mimi_cfg, settings, int8: bool, kv8: bool, platform: str = ""
+) -> str:
     """Content hash over everything a gate verdict depends on: the full
     smoltts_tpu source tree (the gates exercise forward, decode, sampling,
     and the codec — any of it changing must invalidate), the model/codec
-    configs, the sampler settings, and the enabled modes. Seeds are fixed
-    defaults inside the gate functions, covered by the source hash."""
+    configs, the sampler settings, the enabled modes, the jax/jaxlib
+    versions, and the backend platform the gates execute on (numerics
+    differ across backends and releases — a verdict computed on XLA:CPU
+    under one jax must not vouch for another stack; r4 advice). Seeds are
+    fixed defaults inside the gate functions, covered by the source hash."""
     import hashlib
     from pathlib import Path
+
+    import jaxlib
 
     h = hashlib.sha256()
     root = Path(__file__).resolve().parent.parent  # smoltts_tpu/
@@ -277,6 +286,8 @@ def _gate_cache_key(cfg, mimi_cfg, settings, int8: bool, kv8: bool) -> str:
     h.update(repr(sorted(vars(mimi_cfg).items())).encode())
     h.update(repr(settings).encode())
     h.update(f"int8={int8} kv8={kv8}".encode())
+    h.update(f"jax={jax.__version__} jaxlib={jaxlib.__version__}".encode())
+    h.update(f"platform={platform}".encode())
     return h.hexdigest()
 
 
@@ -305,9 +316,15 @@ def run_quant_gates_cached(
     import json
     from pathlib import Path
 
+    import os
+
     key = None
-    if cache_path is not None:
-        key = _gate_cache_key(cfg, mimi_cfg, settings, int8, kv8)
+    # SMOLTTS_GATE_NO_CACHE=1 forces a fresh (uncached) gate run — use
+    # periodically on the benchmark device to re-validate the cached
+    # verdict against the production stack's numerics (r4 advice).
+    if cache_path is not None and os.environ.get("SMOLTTS_GATE_NO_CACHE") != "1":
+        platform = device.platform if device is not None else jax.default_backend()
+        key = _gate_cache_key(cfg, mimi_cfg, settings, int8, kv8, platform)
         p = Path(cache_path)
         if p.exists():
             try:

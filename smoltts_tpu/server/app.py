@@ -174,7 +174,7 @@ def load_core(settings: ServerSettings) -> TTSCore:
 def build_engine_loop(
     core: TTSCore,
     num_slots: int = 32,
-    inflight: int = 2,
+    inflight: int = 1,
     fetch_every: int = 1,
     chunk_frames: int = 4,
 ):

@@ -187,3 +187,38 @@ def test_shallow_max_ahead_never_wedges():
             got += 1
     loop.stop()
     assert got == 16
+
+
+def test_max_ahead_at_or_below_inflight_never_wedges():
+    """max_ahead <= engine.inflight leaves no room for fetch_every even at 1:
+    the loop must also shrink `inflight` (review finding: the production
+    build_engine_loop paired max_ahead=2 with the engine-default inflight=2 —
+    the dispatch gate capped the bulk queue at 2 while take_due held 2 back,
+    so bulk fetches were never due and every served stream wedged after its
+    urgent first frame). Streams here span many single-frame dispatches so
+    the wedge would bite mid-stream, not be masked by proactive slot-free."""
+    import queue as _q
+
+    from smoltts_tpu.lm.engine import EngineLoop
+
+    cfg, token_cfg, params, mimi_cfg, mimi_params = setup()
+    eng = make_engine(
+        cfg, token_cfg, params, mimi_cfg, mimi_params,
+        inflight=2, fetch_every=1, chunk_frames=1, prompt_bucket=8,
+    )
+    loop = EngineLoop(eng, max_ahead=2, fetchers=3)
+    assert eng.inflight + eng.fetch_every <= 2  # drain invariant restored
+    prompt = audio_prompt(cfg, token_cfg, 6, seed=0)
+    qs = [loop.submit(prompt, max_frames=8) for _ in range(2)]
+    got = 0
+    for q in qs:
+        while True:
+            try:
+                fr = q.get(timeout=60)
+            except _q.Empty:
+                raise AssertionError("stream wedged: no frame within 60s")
+            if fr is None:
+                break
+            got += 1
+    loop.stop()
+    assert got == 16

@@ -30,6 +30,26 @@ def test_extremes_and_zero():
     assert np.all(np.sign(dec[5:]) == np.sign(pcm[5:]))
 
 
+def test_known_wire_vectors_g711():
+    """Pin the wire bytes against the published G.711 mapping (Sun g711.c /
+    ffmpeg 16-bit variant: BIAS 0x84, clip 32635, output = uval ^ mask with
+    mask 0xFF for positive, 0x7F for negative). Catches sign-convention
+    inversions that internal round-trips cannot (review finding: the encoder
+    previously emitted 0x7F for +0 — polarity-inverted on every standard
+    telephony decoder)."""
+    # +0 is the canonical mu-law silence byte 0xFF; -1 lands in the negative
+    # zero-segment as 0x7F.
+    enc = ulaw_encode_np(np.array([0, -1, 8, -8], np.int16))
+    assert enc[0] == 0xFF, hex(enc[0])
+    assert enc[1] == 0x7F, hex(enc[1])
+    # wire 0xFE decodes to +8, 0x7E to -8 (Sun ulaw2linear)
+    dec = ulaw_decode_np(np.array([0xFF, 0x7F, 0xFE, 0x7E], np.uint8))
+    assert list(dec) == [0, 0, 8, -8], list(dec)
+    # full-scale positives keep the wire sign bit SET (pre-complement 0)
+    assert ulaw_encode_np(np.array([32767], np.int16))[0] & 0x80
+    assert not (ulaw_encode_np(np.array([-32768], np.int16))[0] & 0x80)
+
+
 def test_device_encoder_bit_exact_vs_host():
     rng = np.random.default_rng(1)
     x = np.clip(rng.standard_normal(4096) * 0.3, -1, 1).astype(np.float32)
