@@ -72,6 +72,10 @@ class Record(NamedTuple):
     # (a stream's first frame, no earlier record can mention it) may account
     # the moment their fetch lands.
     seq: Optional[int] = None
+    # Mutable per-record timing stamps (fetch_start/fetch_end), written by
+    # fetch() and folded into DecodeEngine.timings for admission records —
+    # the first-audio latency decomposition (see pop_timing).
+    meta: dict = None
 
 
 @jax.jit
@@ -211,6 +215,12 @@ class DecodeEngine:
             "records_fetched": 0,
             "urgent_fetched": 0,
         }
+        # Per-stream first-audio latency decomposition (monotonic stamps:
+        # submit -> admit [prefill dispatched] -> fetch_start -> fetch_end ->
+        # first [frame accounted]), kept until pop_timing() or cap eviction.
+        # Costs two clock reads per stream — always on.
+        self.timings: "collections.OrderedDict" = collections.OrderedDict()
+        self._timings_cap = 4096
 
         from smoltts_tpu.lm.pipeline import _donate_names
 
@@ -464,12 +474,38 @@ class DecodeEngine:
 
     def submit(self, prompt: np.ndarray, max_frames: Optional[int] = None) -> int:
         """Queue a [num_rows, T] prompt; returns a stream id."""
+        import time as _time
+
         sid = next(self._ids)
         self._pending.append((sid, np.asarray(prompt, np.int32)))
         h = StreamHandle(stream_id=sid, slot=-1)
         h.max_frames = max_frames or self.settings.max_new_tokens
         self._streams[sid] = h
+        self.timings[sid] = {"submit": _time.monotonic()}
+        while len(self.timings) > self._timings_cap:
+            self.timings.popitem(last=False)
         return sid
+
+    def pop_timing(self, sid: int) -> Optional[dict]:
+        """First-audio latency decomposition for a served stream, seconds
+        since submit: `queue_wait` (submit -> prefill dispatch: admission
+        queueing behind busy slots / the dispatch gate), `dispatch_wait`
+        (prefill dispatched -> urgent fetch begins: device execution plus
+        fetcher pickup), `fetch` (the device->host result transfer itself —
+        the link-RTT/bandwidth share), `deliver` (fetch landed -> frame
+        accounted), and `total` (submit -> first frame accounted). None
+        until the stream's first frame has been accounted."""
+        t = self.timings.get(sid)
+        if not t or "first" not in t:
+            return None
+        self.timings.pop(sid, None)
+        return {
+            "queue_wait": t["admit"] - t["submit"],
+            "dispatch_wait": t["fetch_start"] - t["admit"],
+            "fetch": t["fetch_end"] - t["fetch_start"],
+            "deliver": t["first"] - t["fetch_end"],
+            "total": t["first"] - t["submit"],
+        }
 
     # ------------------------------------------------------------------
 
@@ -589,11 +625,18 @@ class DecodeEngine:
                 )
             # (row index in out) -> stream id, in submission order. Urgent:
             # these are first frames — take_due releases them immediately.
+            import time as _time
+
+            t_admit = _time.monotonic()
+            for sid, _ in batch:
+                if sid in self.timings:
+                    self.timings[sid]["admit"] = t_admit
             self._queue.append(Record(
                 (out.audio_codes, out.is_audio, out.finished, out.slow_token, pcm0),
                 [(i, sid) for i, (sid, _) in enumerate(batch)],
                 1,
                 urgent=True,
+                meta={},
             ))
 
     def _bookkeep(self, sid: int, frame: dict) -> Optional[dict]:
@@ -639,7 +682,16 @@ class DecodeEngine:
         whole batch. Pure device I/O — safe to run OUTSIDE the engine lock,
         concurrently with dispatching (EngineLoop overlaps the two threads so
         the round-trip latency doesn't gate throughput)."""
-        return jax.device_get([r.payload for r in records])
+        import time as _time
+
+        t0 = _time.monotonic()
+        out = jax.device_get([r.payload for r in records])
+        t1 = _time.monotonic()
+        for r in records:
+            if r.meta is not None:
+                r.meta["fetch_start"] = t0
+                r.meta["fetch_end"] = t1
+        return out
 
     def account(self, records: list, fetched: list) -> List[Tuple[int, dict]]:
         """Lagged bookkeeping over fetched results, in dispatch order.
@@ -673,6 +725,15 @@ class DecodeEngine:
                     frame = self._bookkeep(sid, frame)
                     if frame is not None:
                         emitted.append((sid, frame))
+                        # Admission records carry first frames: complete the
+                        # stream's latency decomposition (see pop_timing).
+                        t = rec.meta is not None and self.timings.get(sid)
+                        if t and "first" not in t and "admit" in t:
+                            import time as _time
+
+                            t["fetch_start"] = rec.meta["fetch_start"]
+                            t["fetch_end"] = rec.meta["fetch_end"]
+                            t["first"] = _time.monotonic()
         return emitted
 
     def take_due(self, kind: str = "all") -> list:
@@ -903,6 +964,7 @@ class EngineLoop:
         with self._lock:
             sid = self.engine.submit(prompt, max_frames)
             self._queues[sid] = q
+        q.sid = sid  # for engine.pop_timing(sid) latency decomposition
         return q
 
     def _dispatch_loop(self):

@@ -189,6 +189,37 @@ def test_shallow_max_ahead_never_wedges():
     assert got == 16
 
 
+def test_first_audio_latency_decomposition():
+    """engine.pop_timing(sid) decomposes submit->first-frame latency into
+    queue_wait / dispatch_wait / fetch / deliver that sum to total — the
+    instrumentation the served bench records so an admission-latency number
+    is attributable (queue vs device vs link) rather than opaque."""
+    import queue as _q
+
+    from smoltts_tpu.lm.engine import EngineLoop
+
+    cfg, token_cfg, params, mimi_cfg, mimi_params = setup()
+    eng = make_engine(
+        cfg, token_cfg, params, mimi_cfg, mimi_params,
+        inflight=1, fetch_every=1, chunk_frames=2, prompt_bucket=8,
+    )
+    loop = EngineLoop(eng, max_ahead=3, fetchers=3)
+    prompt = audio_prompt(cfg, token_cfg, 6, seed=0)
+    qs = [loop.submit(prompt, max_frames=6) for _ in range(3)]
+    for q in qs:
+        while q.get(timeout=60) is not None:
+            pass
+    for q in qs:
+        t = eng.pop_timing(q.sid)
+        assert t is not None
+        for k in ("queue_wait", "dispatch_wait", "fetch", "deliver", "total"):
+            assert t[k] >= 0.0, (k, t)
+        parts = t["queue_wait"] + t["dispatch_wait"] + t["fetch"] + t["deliver"]
+        assert abs(parts - t["total"]) < 1e-6, t
+        assert eng.pop_timing(q.sid) is None  # popped
+    loop.stop()
+
+
 def test_max_ahead_at_or_below_inflight_never_wedges():
     """max_ahead <= engine.inflight leaves no room for fetch_every even at 1:
     the loop must also shrink `inflight` (review finding: the production
