@@ -371,6 +371,24 @@ class DecodeEngine:
 
     # ------------------------------------------------------------------
 
+    def shard(self, mesh, tensor_parallel: bool = False, shard_tables: bool = False):
+        """Lay the engine's trees out over a device mesh (parallel/serving.py):
+        decode slots (and the vocoder's per-slot state) shard over `data`,
+        params shard Megatron-style over `model` when tensor_parallel, else
+        replicate. Call BEFORE warm()/submit() — the jitted programs inherit
+        the layouts from their operands (GSPMD), including the host-driven
+        admission scatters, slot-free mark, and per-record result fetches.
+        Certified against the single-device engine by
+        __graft_entry__._dryrun_engine and tests/test_parallel_serving.py."""
+        from smoltts_tpu.parallel.serving import shard_serving
+
+        self.params, self.state, self.mimi_params, self.mimi_state = shard_serving(
+            self.params, self.state, mesh,
+            mimi_params=self.mimi_params, mimi_state=self.mimi_state,
+            tensor_parallel=tensor_parallel, shard_tables=shard_tables,
+        )
+        return self
+
     @property
     def active(self) -> int:
         return len(self._streams)

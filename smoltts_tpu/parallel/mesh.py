@@ -134,10 +134,16 @@ def param_partition_specs(params: dict, shard_tables: bool = False) -> dict:
             "w1": P(None, None, MODEL_AXIS),
             "w3": P(None, None, MODEL_AXIS),
             "w2": P(None, MODEL_AXIS, None),
+            # Decode trees fuse gate/up into w13 = concat(w1, w3) on the
+            # last axis (ops/quant.py::fuse_decode_params): still column-
+            # parallel. The halves-split downstream may cost GSPMD a
+            # reshard; exactness is pinned by the sharded-engine parity
+            # test (tests/test_parallel_serving.py).
+            "w13": P(None, None, MODEL_AXIS),
         }
         if "wqkv_bias" in trunk:
             specs["wqkv_bias"] = P(None, MODEL_AXIS)
-        return specs
+        return {k: v for k, v in specs.items() if k in trunk}
 
     table = P(MODEL_AXIS, None) if shard_tables else P()
     specs: dict = {
