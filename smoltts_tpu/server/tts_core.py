@@ -48,11 +48,24 @@ def _as_wav(pcm: np.ndarray, rate: int, _spec: Tuple[str, ...]) -> Tuple[bytes, 
 
 
 def _as_mp3(pcm: np.ndarray, rate: int, spec: Tuple[str, ...]) -> Tuple[bytes, str]:
+    """mp3_{rate}_{kbps}: genuine MPEG-1/2 Layer III via the system LAME
+    library when present (the reference's own encoder — it shells to LAME
+    through pydub, mlx .../server/tts_core.py:69-82), falling back to the
+    from-scratch Layer II encoder (io/mpeg.py) when no native codec exists.
+    SMOLTTS_MP3_ENCODER=layer2 forces the fallback (tests/benchmarks)."""
+    import os
+
+    kbps = int(spec[2]) if len(spec) > 2 else 128
+    if os.environ.get("SMOLTTS_MP3_ENCODER") != "layer2":
+        from smoltts_tpu.io.mp3 import encode_mp3_lame
+
+        data = encode_mp3_lame(pcm, rate, bitrate_kbps=kbps)
+        if data is not None:
+            return data, "audio/mpeg"
     try:
         from smoltts_tpu.io.mpeg import encode_mpeg_audio
     except ImportError as e:  # pragma: no cover - encoder ships with the repo
         raise NotImplementedError(f"mpeg transcoding unavailable: {e}")
-    kbps = int(spec[2]) if len(spec) > 2 else 128
     return encode_mpeg_audio(pcm, rate, bitrate_kbps=kbps), "audio/mpeg"
 
 

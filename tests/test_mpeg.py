@@ -147,9 +147,12 @@ def test_unsupported_rate_raises():
         encode_mpeg_audio(np.zeros(384), 11_025)
 
 
-def test_transcode_mp3_route():
+def test_transcode_mp3_route(monkeypatch):
+    """The route's Layer II FALLBACK path (SMOLTTS_MP3_ENCODER=layer2);
+    the LAME Layer III default is covered by tests/test_mp3_native.py."""
     from smoltts_tpu.server.tts_core import transcode
 
+    monkeypatch.setenv("SMOLTTS_MP3_ENCODER", "layer2")
     pcm = tone(440, 24_000, seconds=0.2)
     data, media_type = transcode(pcm.astype(np.float32), "mp3_24000_128")
     assert media_type == "audio/mpeg"
