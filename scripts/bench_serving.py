@@ -104,7 +104,7 @@ def boot_server(num_slots: int, frames_per_req: int, fetch_every: int, port: int
     for _ in range(200):
         try:
             with socket.create_connection(("127.0.0.1", port), timeout=0.25):
-                return metrics
+                return metrics, engine
         except OSError:
             time.sleep(0.05)
     raise RuntimeError("server did not come up")
@@ -174,11 +174,16 @@ def main():
     args = ap.parse_args()
 
     port = free_port()
-    boot_server(args.slots, args.frames, args.fetch_every, port)
+    _, engine = boot_server(args.slots, args.frames, args.fetch_every, port)
     text = "The quick brown fox jumps over the lazy dog."
 
     # Warmup: compile the admission/decode/flush programs.
     run_load(port, 4, 0.01, text)
+    engine.drain_timings()
+
+    def pct(vals, p):
+        vals = sorted(vals)
+        return round(vals[min(len(vals) - 1, int(p * len(vals)))], 1)
 
     # Best of N reps per concurrency: this host injects 10-100 s runtime
     # stalls after idle gaps (PERF.md "runtime stalls"), and a single short
@@ -188,11 +193,21 @@ def main():
         reps = []
         for _ in range(args.reps):
             r = run_load(port, c, args.stagger_s, text)
+            # Attribute first-chunk latency: engine-side decomposition of
+            # submit -> first frame (queue / dispatch+device / link fetch /
+            # deliver) for every stream served this rep (VERDICT r4 #1-2).
+            bds = engine.drain_timings()
+            if bds:
+                r["breakdown_ms"] = {
+                    ph: {"p50": pct([b[ph] * 1e3 for b in bds], 0.5),
+                         "p95": pct([b[ph] * 1e3 for b in bds], 0.95)}
+                    for ph in ("queue_wait", "dispatch_wait", "fetch", "deliver", "total")
+                }
             print(json.dumps(r), flush=True)
             reps.append(r)
         best = max(reps, key=lambda r: r.get("served_audio_s_per_s", -1))
         best = dict(best, repeats=[
-            {k: rr[k] for k in ("first_chunk_ms_p50", "served_audio_s_per_s")
+            {k: rr[k] for k in ("first_chunk_ms_p50", "served_audio_s_per_s", "breakdown_ms")
              if k in rr} for rr in reps
         ])
         runs.append(best)

@@ -504,6 +504,16 @@ class DecodeEngine:
             self.timings.popitem(last=False)
         return sid
 
+    def drain_timings(self) -> List[dict]:
+        """Pop every COMPLETED first-audio decomposition (see pop_timing) —
+        for load harnesses that don't track stream ids (e.g. HTTP clients)."""
+        out = []
+        for sid in [s for s, t in list(self.timings.items()) if "first" in t]:
+            t = self.pop_timing(sid)
+            if t is not None:
+                out.append(t)
+        return out
+
     def pop_timing(self, sid: int) -> Optional[dict]:
         """First-audio latency decomposition for a served stream, seconds
         since submit: `queue_wait` (submit -> prefill dispatch: admission

@@ -12,6 +12,7 @@ Correctness strategy:
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,8 @@ def _pot_quantize_params(params, k=5):
     return dense, qparams
 
 
+@pytest.mark.slow  # ~29 s numerical property sweep; core int8 exactness is
+# covered in the default tier by the roundtrip/matmul tests above
 def test_power_of_two_exact():
     """Quantized greedy decode == dense greedy decode, bit-for-bit, when
     scales are powers of two (pins every mm call site in the frame step)."""
