@@ -226,20 +226,25 @@ def main():
 
     from smoltts_tpu.lm.engine import DecodeEngine, EngineLoop
 
-    engine = DecodeEngine(
-        params, cfg, token_cfg, settings,
-        num_slots=B, max_seq_len=S, kv_dtype=kv_dtype,
-        prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
-        inflight=1, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "1")),
-        emit_int16=True,
-        chunk_frames=int(os.environ.get("BENCH_SERVED_CHUNK", "8")),
-        # Admission sizes bound the cold-compile count: a B-sized admit
-        # program is prefill-class (~280 s cold on this host) and only
-        # serves the opening wave, which admits just as well as ~B/4
-        # 4-sized dispatches in a couple of seconds. 4/1 cover churn.
-        admit_sizes=[1, 4],
-        attend_buckets=[BUCKET],
-    )
+    def make_engine(emit_format: str) -> DecodeEngine:
+        return DecodeEngine(
+            params, cfg, token_cfg, settings,
+            num_slots=B, max_seq_len=S, kv_dtype=kv_dtype,
+            prompt_bucket=PROMPT_LEN, mimi_params=mimi_params, mimi_cfg=mimi_cfg,
+            inflight=1, fetch_every=int(os.environ.get("BENCH_FETCH_EVERY", "1")),
+            emit_format=emit_format,
+            chunk_frames=int(os.environ.get("BENCH_SERVED_CHUNK", "8")),
+            # Admission sizes bound the cold-compile count: a B-sized admit
+            # program is prefill-class (~280 s cold on this host) and only
+            # serves the opening wave, which admits just as well as ~B/4
+            # 4-sized dispatches in a couple of seconds. 4/1 cover churn.
+            admit_sizes=[1, 4],
+            attend_buckets=[BUCKET],
+        )
+
+    # Primary served side = int16 — the PCM representation the real stream
+    # route serves (server/app.py); ulaw is the A/B alternate below.
+    engine = make_engine("int16")
 
     stream_ready = threading.Event()  # prefill + stream + flush all landed
     chunk_ready = threading.Event()
@@ -366,12 +371,17 @@ def main():
         frame latency (admission records fetch urgently). Replacement
         streams measure true steady-state admission latency.
 
-        Returns (audio_s/s, p50 ms, p95 ms, steady-p50 ms)."""
+        Returns (audio_s/s, p50 ms, p95 ms, steady-p50 ms, breakdown) where
+        breakdown is the per-phase admission-latency decomposition (engine
+        pop_timing: queue_wait / dispatch_wait / fetch / deliver / total)
+        p50+p95 in ms over the STEADY streams — so the recorded admission
+        p50 is attributable (queue vs device vs link) instead of opaque
+        (VERDICT r4 #1b)."""
         import threading as _t
 
         prompt_np = np.asarray(prompt[0])
         lock = _t.Lock()
-        lats: list = []  # (is_steady, latency_ms)
+        lats: list = []  # (is_steady, latency_ms, timing-dict-or-None)
         frames_done = [0]
         launched = [0]
         completed = [0]
@@ -380,18 +390,20 @@ def main():
         def consume(q, t_submit, steady):
             n = 0
             first = None
+            timing = None
             while True:
                 frame = q.get()
                 if frame is None:
                     break
                 if first is None and "pcm" in frame:
                     first = time.perf_counter() - t_submit
+                    timing = loop.engine.pop_timing(q.sid)
                 n += 1
             launch_next = False
             with lock:
                 frames_done[0] += n
                 if first is not None:
-                    lats.append((steady, first * 1e3))
+                    lats.append((steady, first * 1e3, timing))
                 completed[0] += 1
                 if launched[0] < total_streams:
                     launched[0] += 1
@@ -427,13 +439,22 @@ def main():
             vals = sorted(vals)
             return vals[min(len(vals) - 1, int(p * len(vals)))]
 
-        all_ms = [ms for _, ms in lats]
-        steady_ms = [ms for s, ms in lats if s] or all_ms
+        all_ms = [ms for _, ms, _ in lats]
+        steady_ms = [ms for s, ms, _ in lats if s] or all_ms
+        timings = [t for s, _, t in lats if s and t] or [t for _, _, t in lats if t]
+        breakdown = {
+            ph: {
+                "p50": round(pct([t[ph] * 1e3 for t in timings], 0.5), 1),
+                "p95": round(pct([t[ph] * 1e3 for t in timings], 0.95), 1),
+            }
+            for ph in ("queue_wait", "dispatch_wait", "fetch", "deliver", "total")
+        } if timings else None
         return (
             (frames_done[0] / FRAME_RATE) / elapsed,
             pct(all_ms, 0.5),
             pct(all_ms, 0.95),
             pct(steady_ms, 0.5),
+            breakdown,
         )
 
     # ---- segments, in value order, each emitting as it lands --------------
@@ -491,36 +512,74 @@ def main():
     else:
         RESULT["extra"]["skipped"].append("chunked")
 
-    engine_ready.wait()
-    if left() > 60:
+    def serve_reps(eng, nreps):
         # max_ahead=2: the exp_loop_sweep operating point (PERF.md) —
         # shallow dispatch queue bounds admission latency on this
         # fetch-bound host; fetchers=3 = dedicated urgent + 2 bulk.
         loop = EngineLoop(
-            engine,
+            eng,
             max_ahead=int(os.environ.get("BENCH_MAX_AHEAD", "2")),
             fetchers=int(os.environ.get("BENCH_FETCHERS", "3")),
         )
         # Short shakedown (threads, urgent-fetch path, transfer-path setup).
         run_served(loop, min(8, B), min(16, 2 * B), 24)
-        served_reps = [
-            run_served(loop, B, 2 * B, SERVED_FRAMES)
-            for _ in range(max(2, REPEATS - 1))
+        eng.drain_timings()  # shakedown timings must not pollute the reps
+        reps = [
+            run_served(loop, B, 2 * B, SERVED_FRAMES) for _ in range(nreps)
         ]
         loop.stop()
-        tp, p50, p95, steady = max(served_reps, key=lambda r: r[0])
+        return reps
+
+    engine_ready.wait()
+    if left() > 60:
+        served_reps = serve_reps(engine, max(2, REPEATS - 1))
+        tp, p50, p95, steady, bd = max(served_reps, key=lambda r: r[0])
         RESULT["extra"].update(
             served_audio_s_per_s=round(tp, 3),
             served_first_audio_ms_p50=round(p50, 1),
             served_first_audio_ms_p95=round(p95, 1),
             served_steady_admission_ms_p50=round(steady, 1),
             served_vs_pipeline=round(tp / RESULT["value"], 3),
+            # Admission-latency anatomy of the best window (steady streams):
+            # queue_wait (submit->prefill dispatch) / dispatch_wait (device
+            # exec + fetcher pickup) / fetch (device->host link) / deliver.
+            served_breakdown_ms=bd,
         )
         RESULT["extra"]["repeats"]["served"] = [
-            [round(x, 1) for x in r] for r in served_reps
+            [round(x, 1) for x in r[:4]] for r in served_reps
         ]
-        note(f"served: {tp:.1f} audio_s/s, p50 {p50:.0f} ms")
+        note(f"served: {tp:.1f} audio_s/s, p50 {p50:.0f} ms, steady {steady:.0f} ms")
         emit()
+
+        # Served A/B — emit_format int16 vs ulaw (VERDICT r4 #1a): G.711
+        # mu-law frames move 2x fewer bytes over the host link than PCM16.
+        # If the served path is download-bound (PERF.md "served-path
+        # physics"), the ulaw side's throughput should approach 2x the
+        # int16 side's; if it is not, this localizes the real bottleneck.
+        # Costs one extra warm wave (the decode/vocode programs differ only
+        # in the final PCM conversion) — budget-gated.
+        if os.environ.get("BENCH_SERVED_AB", "1") == "1" and left() > 300:
+            eng2 = make_engine("ulaw")
+            eng2.warm(parallel=6, buckets=[BUCKET], progress=note)
+            ab_reps = serve_reps(eng2, 2)
+            tp2, _, _, steady2, bd2 = max(ab_reps, key=lambda r: r[0])
+            RESULT["extra"]["served_ab"] = {
+                "int16": {
+                    "audio_s_per_s": round(tp, 3),
+                    "steady_admission_ms_p50": round(steady, 1),
+                    "fetch_ms_p50": bd and bd["fetch"]["p50"],
+                },
+                "ulaw": {
+                    "audio_s_per_s": round(tp2, 3),
+                    "steady_admission_ms_p50": round(steady2, 1),
+                    "fetch_ms_p50": bd2 and bd2["fetch"]["p50"],
+                    "repeats": [round(r[0], 1) for r in ab_reps],
+                },
+            }
+            note(f"served A/B: ulaw {tp2:.1f} vs int16 {tp:.1f} audio_s/s")
+            emit()
+        else:
+            RESULT["extra"]["skipped"].append("served_ab")
     else:
         RESULT["extra"]["skipped"].append("served")
 

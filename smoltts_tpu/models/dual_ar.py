@@ -27,6 +27,7 @@ GSPMD (see smoltts_tpu/parallel/sharding.py).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -251,8 +252,67 @@ def run_trunk(
             else None
         )
         body = jax.checkpoint(body, policy=policy)
-    (x, _), _ = jax.lax.scan(body, (x, dropout_rng), layer_params)
+    # SMOLTTS_TRUNK_UNROLL > 1 unrolls the layer scan so XLA can overlap
+    # weight-stack slices across layers instead of a strict while loop
+    # (training-throughput knob; profiled in PERF.md "step anatomy").
+    unroll = int(os.environ.get("SMOLTTS_TRUNK_UNROLL", "1"))
+    (x, _), _ = jax.lax.scan(body, (x, dropout_rng), layer_params, unroll=unroll)
     return x
+
+
+def run_fast_trunk(
+    params: DualARParams,
+    cfg: DualARConfig,
+    fast_seq: jnp.ndarray,  # [N, n, fast_dim] — one row per frame
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    remat: bool = False,
+    remat_policy: str = "none",
+) -> jnp.ndarray:
+    """Fast trunk over per-frame sequences, with FRAME FOLDING.
+
+    The fast sequence length n (= max_fast_seqlen, 8) is far below the TPU
+    lane width, so naive per-frame attention materializes [N, h, n, n]
+    score/probability tensors whose minor dim pads 8 -> 128 — a measured
+    16x memory/HBM-traffic expansion (the remat=off OOM dump showed 2.25 GB
+    padded for 144 MB of data per buffer; PERF.md "step anatomy"). Folding
+    F frames into one (F*n)-token sequence with a BLOCK-DIAGONAL causal
+    mask packs the lanes exactly: softmax rows are unchanged (each token
+    still attends only within its own frame), so the result is numerically
+    identical to the unfolded form (pinned by test_fast_fold_parity); only
+    dropout bit-streams differ, which is already dropout's contract here.
+
+    F = largest of {16, 8, 4, 2} dividing N with F*n a lane multiple
+    (n=8 -> F=16 -> 128 tokens); SMOLTTS_FAST_FOLD=1 disables.
+    """
+    N, n, fd = fast_seq.shape
+    fold_max = int(os.environ.get("SMOLTTS_FAST_FOLD", "16"))
+    F = 1
+    for cand in (16, 8, 4, 2):
+        if cand <= fold_max and N % cand == 0 and (cand * n) % 128 == 0:
+            F = cand
+            break
+    fdims = fast_dims(cfg)
+    fcos, fsin = rope_cos_sin(jnp.arange(n), cfg.fast_head_dim, cfg.rope_base)
+    if F == 1:
+        return run_trunk(
+            params["fast_layers"], fast_seq, fdims, fcos, fsin,
+            is_causal=True, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            norm_eps=cfg.norm_eps, remat=remat, remat_policy=remat_policy,
+        )
+    folded = fast_seq.reshape(N // F, F * n, fd)
+    idx = jnp.arange(F * n)
+    blk = idx // n
+    fmask = (blk[:, None] == blk[None, :]) & (idx[:, None] >= idx[None, :])
+    fast_x = run_trunk(
+        params["fast_layers"], folded, fdims,
+        jnp.tile(fcos, (F, 1)), jnp.tile(fsin, (F, 1)),
+        mask=fmask, is_causal=False,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        norm_eps=cfg.norm_eps, remat=remat, remat_policy=remat_policy,
+    )
+    return fast_x.reshape(N, n, -1)
 
 
 # --------------------------------------------------------------------------
@@ -378,6 +438,14 @@ def forward_train(
         if (dropout > 0.0 and dropout_rng is not None)
         else (None, None)
     )
+    # SMOLTTS_REMAT_SCOPE: which trunks layer-remat applies to when gradient
+    # checkpointing is on — "both" (default), "slow", or "fast". The slow
+    # trunk's saved activations are ~30x smaller than the fast trunk's
+    # (T vs T*n tokens), so scope=fast keeps nearly all the memory win
+    # while skipping the slow trunk's backward recompute (PERF.md "step
+    # anatomy").
+    scope = os.environ.get("SMOLTTS_REMAT_SCOPE", "both")
+    remat_on = cfg.use_gradient_checkpointing and train
 
     # ---- slow trunk ----
     x = _slow_forward(
@@ -388,7 +456,7 @@ def forward_train(
         semantic_end_id=semantic_end_id,
         activation_sharding=activation_sharding,
         remat_policy=remat_policy,
-        remat=cfg.use_gradient_checkpointing and train,
+        remat=remat_on and scope in ("both", "slow"),
     )
     token_logits = token_head(params, cfg, x)
 
@@ -411,19 +479,13 @@ def forward_train(
     n = cfg.max_fast_seqlen
     fast_seq = fast_seq.reshape(B * T, n, cfg.fast_dim)
 
-    fpos = jnp.arange(n)
-    fcos, fsin = rope_cos_sin(fpos, cfg.fast_head_dim, cfg.rope_base)
-    fast_x = run_trunk(
-        params["fast_layers"],
+    fast_x = run_fast_trunk(
+        params,
+        cfg,
         fast_seq,
-        fdims,
-        fcos,
-        fsin,
-        is_causal=True,
         dropout_rate=dropout,
         dropout_rng=rngs[1],
-        norm_eps=cfg.norm_eps,
-        remat=cfg.use_gradient_checkpointing and train,
+        remat=remat_on and scope in ("both", "fast"),
         remat_policy=remat_policy,
     )
     fast_out = rms_norm(fast_x, params["fast_norm"], cfg.norm_eps)

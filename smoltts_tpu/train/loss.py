@@ -98,14 +98,13 @@ def forward_train_loss(
     from smoltts_tpu.models.dual_ar import (
         _slow_forward,
         fast_codebook_offsets,
-        fast_dims,
         fast_output_logits,
         forward_train,
         project_fast_in,
+        run_fast_trunk,
         token_head,
     )
-    from smoltts_tpu.models.layers import rms_norm, rope_cos_sin
-    from smoltts_tpu.models.dual_ar import run_trunk
+    from smoltts_tpu.models.layers import rms_norm
 
     if chunk_t <= 0:
         out = forward_train(
@@ -159,8 +158,6 @@ def forward_train_loss(
     cb_c = cb.reshape(B, nt, chunk_t, -1).transpose(1, 0, 2, 3)
     lb_c = cb_labels.reshape(B, nt, chunk_t, -1).transpose(1, 0, 2, 3)
 
-    fdims = fast_dims(cfg)
-    fcos, fsin = rope_cos_sin(jnp.arange(n), cfg.fast_head_dim, cfg.rope_base)
     frng = rngs[1] if rngs[1] is not None else jax.random.PRNGKey(0)
     use_dropout = dropout > 0.0 and rngs[1] is not None
 
@@ -171,12 +168,10 @@ def forward_train_loss(
         cb_embeds = params["fast_embeddings"][cbc]  # [B, C, n-1, fd]
         seq = jnp.concatenate([hc[:, :, None], cb_embeds], axis=2)
         seq = seq.reshape(B * chunk_t, n, -1)
-        fast_x = run_trunk(
-            params["fast_layers"], seq, fdims, fcos, fsin,
-            is_causal=True,
+        fast_x = run_fast_trunk(
+            params, cfg, seq,
             dropout_rate=dropout if use_dropout else 0.0,
             dropout_rng=sub if use_dropout else None,
-            norm_eps=cfg.norm_eps,
             # Inner per-layer remat is OFF: the chunk body below is itself
             # checkpointed, so backward already recomputes the body one
             # chunk at a time (chunk-local activations only). Stacking the

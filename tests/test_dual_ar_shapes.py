@@ -118,3 +118,33 @@ def test_sdpa_blockwise_dropout_statistics():
     np.testing.assert_array_equal(d1, d2)  # deterministic in rng
     # E[dropped] == base; average over everything should agree within ~1%
     assert abs(d1.mean() - base.mean()) / abs(base.mean()) < 0.02
+
+
+def test_fast_fold_parity(monkeypatch):
+    """Block-diagonal frame folding (models/dual_ar.py::run_fast_trunk) is
+    numerically identical to the unfolded per-frame fast trunk: each token
+    attends only within its own frame, so softmax rows are unchanged.
+    The fold exists because [N, h, 8, 8] attention tensors pad their minor
+    dim 8 -> 128 on TPU (16x HBM-traffic expansion; PERF.md step anatomy)."""
+    cfg = tiny_debug_config(codebook_size=32, vocab_size=352)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    # B*T = 2*24 = 48: divisible by 16 -> fold engages at F=16.
+    tokens = jnp.asarray(rng.integers(0, 32, (2, cfg.num_rows, 24)).astype(np.int32))
+
+    monkeypatch.setenv("SMOLTTS_FAST_FOLD", "1")
+    ref = forward_train(params, cfg, tokens)
+    monkeypatch.setenv("SMOLTTS_FAST_FOLD", "16")
+    folded = forward_train(params, cfg, tokens)
+
+    np.testing.assert_allclose(
+        np.asarray(folded.codebook_logits, np.float32),
+        np.asarray(ref.codebook_logits, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # Mean abs deviation must be at bf16 rounding scale, not structural.
+    diff = np.abs(
+        np.asarray(folded.codebook_logits, np.float32)
+        - np.asarray(ref.codebook_logits, np.float32)
+    )
+    assert diff.mean() < 1e-3
