@@ -215,6 +215,7 @@ def run_trunk(
     is_causal: bool = True,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_cols: Optional[int] = None,
     norm_eps: float = 1e-5,
     remat: bool = False,
     remat_policy: str = "none",
@@ -241,6 +242,7 @@ def run_trunk(
             is_causal=is_causal,
             dropout_rate=dropout_rate if use_dropout else 0.0,
             dropout_rng=sub if use_dropout else None,
+            dropout_cols=dropout_cols,
             norm_eps=norm_eps,
         )
         return (h, rng), None
@@ -252,10 +254,12 @@ def run_trunk(
             else None
         )
         body = jax.checkpoint(body, policy=policy)
-    # SMOLTTS_TRUNK_UNROLL > 1 unrolls the layer scan so XLA can overlap
-    # weight-stack slices across layers instead of a strict while loop
-    # (training-throughput knob; profiled in PERF.md "step anatomy").
-    unroll = int(os.environ.get("SMOLTTS_TRUNK_UNROLL", "1"))
+    # Unrolling the layer scan lets XLA overlap weight-stack slices and
+    # transposes across layers that the strict while loop serializes —
+    # measured -2.2% step time at 150M b16 (unroll sweep in PERF.md "step
+    # anatomy": 1/2/4/10 -> 426.5/423.6/417.5/418.7 ms; 4 is the knee).
+    # SMOLTTS_TRUNK_UNROLL overrides.
+    unroll = int(os.environ.get("SMOLTTS_TRUNK_UNROLL", "4"))
     (x, _), _ = jax.lax.scan(body, (x, dropout_rng), layer_params, unroll=unroll)
     return x
 
@@ -310,6 +314,9 @@ def run_fast_trunk(
         jnp.tile(fcos, (F, 1)), jnp.tile(fsin, (F, 1)),
         mask=fmask, is_causal=False,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        # 8 block-aligned attendable keys per 128-wide row: draw keep bits
+        # for 8 columns, not 128 (see sdpa dropout_cols).
+        dropout_cols=n,
         norm_eps=cfg.norm_eps, remat=remat, remat_policy=remat_policy,
     )
     return fast_x.reshape(N, n, -1)

@@ -191,17 +191,24 @@ def sdpa_blockwise(
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
             corr = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new[..., None])  # undropped
-            l = l * corr + jnp.sum(p, axis=-1)
+            l = l * corr + jnp.sum(p, axis=-1)  # normalizer from undropped p
+            p16 = p.astype(v.dtype)
             if dropout_rate > 0.0 and rng is not None:
                 blk_rng = jax.random.fold_in(rng, qi * NK + kj)
                 keep = dropout_keep(blk_rng, dropout_rate, p.shape)
-                p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+                # Zero in matmul dtype; the 1/(1-p) inverted scaling moves
+                # to the block output below — identical by linearity, and
+                # it drops a full fp32 probs-sized where pass (PERF.md
+                # "step anatomy": attention dropout cost 54 ms/step).
+                p16 = jnp.where(keep, p16, 0)
             acc = acc * corr[..., None] + jnp.einsum(
-                "bhgqk,bkhd->bhgqd", p.astype(v.dtype), vb,
+                "bhgqk,bkhd->bhgqd", p16, vb,
                 preferred_element_type=jnp.float32,
             )
             m = m_new
         out = acc / jnp.maximum(l[..., None], 1e-30)
+        if dropout_rate > 0.0 and rng is not None:
+            out = out * (1.0 / (1.0 - dropout_rate))
         return out.transpose(0, 3, 1, 2, 4).astype(q.dtype)  # [B, bq, n_kv, g, hd]
 
     outs = []
@@ -221,6 +228,7 @@ def sdpa(
     is_causal: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_cols: Optional[int] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention with GQA.
 
@@ -228,6 +236,16 @@ def sdpa(
     mask: bool [*, Tq, Tk] broadcastable, True = attend. Softmax in fp32.
     Matches torch SDPA semantics used at rq_transformer.py:559-566
     (is_causal, dropout on attention probabilities at train time).
+
+    dropout_cols: when the mask leaves at most `dropout_cols` attendable
+    keys per query row, all at column positions congruent mod dropout_cols
+    (the frame-folded fast trunk: 8 block-aligned keys per 128-wide row —
+    models/dual_ar.py::run_fast_trunk), draw keep bits for only that many
+    columns and index-expand by (col % dropout_cols). Valid positions map
+    to distinct draws, so the keep distribution over attendable entries is
+    unchanged iid Bernoulli; masked positions have probability 0 and ignore
+    their (shared) bits. Cuts dropout bit generation by Tk/dropout_cols
+    (16x at the folded fast-trunk shapes).
 
     Long causal self-attention (the packed-batch trainer) routes to
     `sdpa_blockwise`, which avoids materializing [B, H, T, T] logits.
@@ -264,13 +282,28 @@ def sdpa(
 
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows
+    probs = probs.astype(v.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = dropout_keep(dropout_rng, dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        if dropout_cols is not None and dropout_cols < probs.shape[-1]:
+            keep = dropout_keep(
+                dropout_rng, dropout_rate, probs.shape[:-1] + (dropout_cols,)
+            )
+            keep = keep[..., jnp.arange(probs.shape[-1]) % dropout_cols]
+        else:
+            keep = dropout_keep(dropout_rng, dropout_rate, probs.shape)
+        # Zero kept-out probs in the matmul dtype and apply the 1/(1-p)
+        # inverted scaling to the OUTPUT instead of the probabilities —
+        # identical by linearity of the PV matmul, and it removes a full
+        # fp32 probs-sized where pass (measured: attention dropout cost
+        # 54 ms/step at 150M b16 before this; PERF.md "step anatomy").
+        probs = jnp.where(keep, probs, 0)
 
     out = jnp.einsum(
-        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(v.dtype)
+        "bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32
+    )
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        out = out * (1.0 / (1.0 - dropout_rate))
+    out = out.astype(v.dtype)
     return out.reshape(B, Tq, n_head * hd)
 
 
@@ -285,6 +318,7 @@ def attention_block(
     is_causal: bool = True,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_cols: Optional[int] = None,
     norm_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """One pre-norm attention sublayer: x + wo(attn(norm(x))).
@@ -308,6 +342,7 @@ def attention_block(
         is_causal=is_causal,
         dropout_rate=dropout_rate,
         dropout_rng=dropout_rng,
+        dropout_cols=dropout_cols,
     )
     return x + mm(att, lp["wo"])
 
@@ -339,6 +374,7 @@ def transformer_block(
     is_causal: bool = True,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_cols: Optional[int] = None,
     norm_eps: float = 1e-5,
 ) -> jnp.ndarray:
     x = attention_block(
@@ -351,6 +387,7 @@ def transformer_block(
         is_causal=is_causal,
         dropout_rate=dropout_rate,
         dropout_rng=dropout_rng,
+        dropout_cols=dropout_cols,
         norm_eps=norm_eps,
     )
     return ffn_block(x, lp, norm_eps)

@@ -103,3 +103,40 @@ def test_sdpa_blockwise_dropout_mean_preserving():
         acc += np.asarray(f(jax.random.PRNGKey(100 + i)), np.float64)
     err = np.abs(acc / N - base).mean() / (np.abs(base).mean() + 1e-9)
     assert err < 0.15, err
+
+
+def test_sdpa_dropout_cols_mean_preserving_and_iid():
+    """dropout_cols (the frame-folded fast trunk's column-limited keep
+    draw, models/layers.py::sdpa): over the VALID (block-diagonal) entries
+    the keep distribution must stay iid Bernoulli — E[dropout(p)] = p —
+    while bits are drawn for only `n` columns per row instead of F*n."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smoltts_tpu.models.layers import sdpa
+
+    n, F = 8, 4  # 32-token folded sequence of 4 frames
+    T = n * F
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, T, 2, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, T, 2, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, T, 2, 16)).astype(np.float32))
+    idx = jnp.arange(T)
+    blk = idx // n
+    mask = (blk[:, None] == blk[None, :]) & (idx[:, None] >= idx[None, :])
+
+    base = np.asarray(sdpa(q, k, v, mask))
+    f = jax.jit(
+        lambda r: sdpa(
+            q, k, v, mask, dropout_rate=0.3, dropout_rng=r, dropout_cols=n
+        )
+    )
+    acc = np.zeros_like(base, np.float64)
+    N = 48
+    for i in range(N):
+        out = np.asarray(f(jax.random.PRNGKey(200 + i)), np.float64)
+        assert not np.array_equal(out, base)  # dropout actually engaged
+        acc += out
+    err = np.abs(acc / N - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert err < 0.15, err
