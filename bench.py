@@ -392,7 +392,11 @@ def main():
             first = None
             timing = None
             while True:
-                frame = q.get()
+                try:
+                    frame = q.get(timeout=600)
+                except Exception:
+                    note(f"consume: no frame for 600s (sid={q.sid}, got {n})")
+                    break
                 if frame is None:
                     break
                 if first is None and "pcm" in frame:
@@ -432,7 +436,15 @@ def main():
             launched[0] = n_streams
         for _ in range(n_streams):
             start_one(steady=False)
-        assert all_done.wait(timeout=600), "served run did not complete"
+        if not all_done.wait(timeout=900):
+            eng = loop.engine
+            note(
+                f"SERVED STALL: completed={completed[0]}/{total_streams} "
+                f"active={eng.active} pending={len(eng._pending)} "
+                f"queue={len(eng._queue)} free_slots={len(eng._free)} "
+                f"frames_done={frames_done[0]}"
+            )
+            raise AssertionError("served run did not complete")
         elapsed = time.perf_counter() - t0
 
         def pct(vals, p):
