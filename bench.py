@@ -63,7 +63,10 @@ import numpy as np
 FRAME_RATE = 12.5
 N_STREAMS = int(os.environ.get("BENCH_STREAMS", "64"))
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "64"))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
+# Chunk 8: the r5 operating-point sweep's median winner (exp_oppoint.py,
+# 5 repeats/candidate: 8/16/32 @ bucket256 -> 1018.5/913.1/463.6 median
+# audio-s/s, spreads ~0.10-0.17; 16 @ bucket512 -> 875.2). PERF.md.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 PROMPT_LEN = 64
 # Length bucketing: attention reads are bounded to the smallest bucket that
 # covers every live position (the engine's scheme); the KV state itself
