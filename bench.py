@@ -79,7 +79,11 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # the served run can never hit a cold mid-run compile.
 SERVED_FRAMES = int(os.environ.get("BENCH_SERVED_FRAMES", "120"))
 assert PROMPT_LEN + (SERVED_FRAMES * 3) // 2 + 1 <= BUCKET
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "720"))
+# 1000 s default: with the persistent compile cache warm (this repo's
+# .jax_cache is populated by the measurement runs), a full pass incl. the
+# served A/B fits; progressive emission still protects an earlier kill —
+# every completed segment has already been printed.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1000"))
 T0 = time.monotonic()
 
 
